@@ -1,0 +1,75 @@
+"""corrla_rs_tpu — TPU-native (JAX/XLA/Pallas) rebuild of wgurecky/CORRLA_RS.
+
+A library for correlation analysis, randomized linear algebra, reduced-order
+modeling (PCA / POD / DMDc), active-subspace identification, RBF
+interpolation, constrained sampling, and DEMC/DREAM MCMC — designed
+TPU-first: every numeric path is jit-compiled XLA, hot kernels have Pallas
+implementations, and tall-matrix / many-chain workloads shard over a
+``jax.sharding.Mesh``.
+
+The public surface mirrors the reference pyo3 module ``corrla_rs``
+(reference: src/lib_math_utils_py.rs:17-176) so a user of the reference can
+switch directly:
+
+- ``rsvd(a, n_rank, n_iters, n_oversamples)``  -> (U, S, Vt)
+- ``rpca(a, n_rank, n_iters, n_oversamples)``  -> (S, components)
+- ``active_ss(x, y, order, n_nbr, n_comps)``   -> (comps, vals, sensi)
+- ``cs_dirichlet_sample(bounds, n_samples, max_zshots, chunk_size, c_scale,
+  alphas)``
+- ``cs_mcmc_dirichlet_sample(bounds, n_samples, n_seed_samples, max_zshots,
+  chunk_size, c_scale, alphas, gamma, var_epsilon)`` -> (samples, accept_ratio)
+- classes ``RbfInterp`` (= PyRbfInterp), ``PodI`` (= PyPodI),
+  ``DMDc`` (= PyDMDc), ``PcaRsvd``
+
+Improvement over the reference: every routine takes an explicit ``seed`` /
+``key`` argument (the reference uses unseedable ``thread_rng()`` throughout,
+see reference mat_utils.rs:171).
+"""
+
+from corrla_rs_tpu.api import (
+    rsvd,
+    rpca,
+    active_ss,
+    cs_dirichlet_sample,
+    cs_mcmc_dirichlet_sample,
+)
+from corrla_rs_tpu.models.pca import PcaRsvd
+from corrla_rs_tpu.models.pod import PodI
+from corrla_rs_tpu.models.dmd import DMDc
+from corrla_rs_tpu.models.active_subspaces import (
+    ActiveSsRsvd,
+    FittedActiveSsRsvd,
+    PolyGradientEstimator,
+)
+from corrla_rs_tpu.ops.interp import RbfInterp
+from corrla_rs_tpu.ops.random_svd import random_svd, power_iter
+from corrla_rs_tpu.ops.samplers import DeMcSampler, constr_dirichlet_sample
+
+# Aliases matching the exact pyo3 class names (lib_math_utils_py.rs:179-283)
+PyRbfInterp = RbfInterp
+PyPodI = PodI
+PyDMDc = DMDc
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "rsvd",
+    "rpca",
+    "active_ss",
+    "cs_dirichlet_sample",
+    "cs_mcmc_dirichlet_sample",
+    "random_svd",
+    "power_iter",
+    "PcaRsvd",
+    "PodI",
+    "DMDc",
+    "RbfInterp",
+    "ActiveSsRsvd",
+    "FittedActiveSsRsvd",
+    "PolyGradientEstimator",
+    "DeMcSampler",
+    "constr_dirichlet_sample",
+    "PyRbfInterp",
+    "PyPodI",
+    "PyDMDc",
+]

@@ -1,0 +1,114 @@
+"""Functional public API mirroring the reference pyo3 module ``corrla_rs``.
+
+Signatures and return shapes match reference lib_math_utils_py.rs:17-176
+exactly (singular values returned as (r, 1) column matrices, as the pyo3
+layer does via ``s_diagonal().as_2d()``), with one strict improvement: an
+optional trailing ``seed`` argument makes every routine reproducible.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.prng import as_key
+
+
+def rsvd(a_mat, n_rank: int, n_iters: int, n_oversamples: int, seed=0):
+    """Randomized SVD. Parity with pyfn rsvd (lib_math_utils_py.rs:21-36).
+
+    Returns (U (m, r), S (r, 1), Vt (r, n)).
+    """
+    a = jnp.asarray(a_mat)
+    u, s, vt = random_svd(a, n_rank, n_iters, n_oversamples, key=as_key(seed))
+    return u, s[:, None], vt
+
+
+def rpca(a_mat, n_rank: int, n_iters: int = None, n_oversamples: int = None,
+         seed=0):
+    """PCA via RSVD. Parity with pyfn rpca (lib_math_utils_py.rs:38-55).
+
+    Note: like the reference binding, ``n_iters``/``n_oversamples`` are
+    accepted but the PCA model uses its own hardcoded defaults
+    (PcaRsvd::new ignores them; pca_rsvd.rs:65-66). Returns
+    (singular_values (r, 1), components (r, n_dim)).
+    """
+    from corrla_rs_tpu.models.pca import PcaRsvd
+
+    pca = PcaRsvd(jnp.asarray(a_mat), n_rank, key=as_key(seed))
+    return pca.singular_values[:, None], pca.components
+
+
+def active_ss(x, y, order: int, n_nbr: int, n_comps: int):
+    """Active-subspace id + sensitivity. Parity with pyfn active_ss
+    (lib_math_utils_py.rs:57-87): local-poly gradient estimator, the EVD
+    ``fit`` path (not fit_svd — lib_math_utils_py.rs:75-76), Constantine-
+    Diaz sensitivities.
+
+    Returns (components (k, n_comps), singular_vals (k, n_comps),
+    sensi (k,)).
+    """
+    from corrla_rs_tpu.models.active_subspaces import (
+        ActiveSsRsvd,
+        PolyGradientEstimator,
+    )
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    grad_est = PolyGradientEstimator(x, y, order, n_nbr)
+    fitted = ActiveSsRsvd(grad_est, n_comps).fit(x)
+    return fitted.components, fitted.singular_vals, fitted.var_diag_evd_sensi()
+
+
+def cs_dirichlet_sample(bounds, n_samples: int, max_zshots: int,
+                        chunk_size: int, c_scale: float, alphas, seed=0):
+    """Constrained Dirichlet rejection sampling. Parity with pyfn
+    cs_dirichlet_sample (lib_math_utils_py.rs:89-105)."""
+    from corrla_rs_tpu.ops.samplers import constr_dirichlet_sample
+
+    return constr_dirichlet_sample(
+        bounds, n_samples, max_zshots, chunk_size, c_scale, alphas,
+        key=as_key(seed),
+    )
+
+
+def cs_mcmc_dirichlet_sample(bounds, n_samples: int, n_seed_samples: int,
+                             max_zshots: int, chunk_size: int, c_scale: float,
+                             alphas, gamma: float, var_epsilon: float, seed=0):
+    """Hybrid rejection-seeded DEMC sampling of the bounded simplex.
+
+    Full-pipeline parity with pyfn cs_mcmc_dirichlet_sample
+    (lib_math_utils_py.rs:107-168): rejection seeds -> Dirichlet(1) target
+    x uniform box prior -> simplex-renormalizing proposal fixup -> parallel
+    DEMC -> (interleaved samples, acceptance ratio). Seeds form the chains
+    (one chain per seed), so n_seed_samples >= 3.
+    """
+    import jax
+
+    from corrla_rs_tpu.ops.samplers import (
+        DeMcSampler,
+        constr_dirichlet_sample,
+        ln_like_dirichlet,
+        ln_like_sum,
+        ln_prior_uniform,
+    )
+
+    k_seed, k_mcmc = jax.random.split(as_key(seed))
+    bounds = jnp.asarray(bounds, dtype=jnp.result_type(float))
+    seeds = constr_dirichlet_sample(
+        bounds, n_seed_samples, max_zshots, chunk_size, c_scale, alphas,
+        key=k_seed,
+    )
+    # target is uniform-in-z Dirichlet(1,...,1) (lib_math_utils_py.rs:129)
+    ndim = bounds.shape[0]
+    ln_post = ln_like_sum(
+        ln_like_dirichlet(jnp.ones(ndim)), ln_prior_uniform(bounds)
+    )
+
+    def fixup(x):
+        return c_scale * x / jnp.sum(x)
+
+    sampler = DeMcSampler(
+        ln_post, seeds, gamma, var_epsilon, prop_fixup_fn=fixup, key=k_mcmc
+    )
+    sampler.sample_mcmc(n_samples)
+    return sampler.get_samples(n_samples), sampler.accept_ratio()

@@ -1,0 +1,187 @@
+"""Dynamic Mode Decomposition with control (DMDc).
+
+Proctor / Brunton / Kutz, "Dynamic Mode Decomposition with Control".
+Represents x_{t+1} = A x_t + B u_t. Parity with reference dmd_rom.rs:20-225:
+
+- Omega = vstack(X; U), input space Omega[:, :-1], output space X'
+  (dmd_rom.rs:66,149-162)
+- RSVD of both spaces with 12 oversamples (dmd_rom.rs:72,82)
+- A~ from eq. 29, B~ from eq. 30 (dmd_rom.rs:90-106)
+- complex eigendecomposition of A~ (dmd_rom.rs:112-125) — the r x r
+  nonsymmetric eigensolve runs on host LAPACK via jax.pure_callback
+  (TPU has no nonsymmetric eig); everything else is on-device XLA
+- DMD modes from eq. 36 kept as real/imag parts (dmd_rom.rs:128-146)
+- est_a_til reconstructs A = Phi Lambda Phi^+ in complex arithmetic
+  (dmd_rom.rs:165-175)
+
+TPU-first deltas: the rollout in ``predict_multiple`` is a ``lax.scan``
+with A precomputed once (the reference rebuilds A from the
+eigendecomposition on every ``predict`` call, dmd_rom.rs:191,204).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from corrla_rs_tpu.ops.mat_utils import PRECISION, pinv_diag
+from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.prng import as_key
+
+# Reference default oversamples for both RSVDs (dmd_rom.rs:72,82).
+DMD_N_OVERSAMPLES = 12
+
+
+def _pinv_complex_np(x: np.ndarray, eps: float = 1.0e-16) -> np.ndarray:
+    """Complex Moore-Penrose pinv on host, parity with mat_pinv_comp
+    (mat_utils.rs:56-71): 1 / (s + eps(1+i)) regularization.
+
+    Runs on host LAPACK: the matrix is (n_x, r) with tiny r, and TPU
+    runtimes (this one included) do not support complex dtypes on device.
+    """
+    u, s, vh = np.linalg.svd(x, full_matrices=False)
+    s_inv = 1.0 / (s.astype(x.dtype) + (eps + 1j * eps))
+    return (vh.conj().T * s_inv[None, :]) @ u.conj().T
+
+
+@functools.partial(jax.jit, static_argnames=("n_x", "n_u", "n_modes", "n_iters"))
+def _dmdc_reduce_kernel(x_data, u_data, n_x, n_u, n_modes, n_iters, key):
+    """On-device stage 1: both RSVDs + reduced operators (eqs. 29-30)."""
+    omega = jnp.concatenate([x_data, u_data], axis=0)
+    x_in = omega[:, :-1]            # input space (state + control)
+    y_out = omega[:n_x, 1:]         # output space (state only)
+
+    k1, k2 = jax.random.split(key)
+    u_til, s_til, vt_til = random_svd(
+        x_in, n_modes, n_iters, DMD_N_OVERSAMPLES, key=k1
+    )
+    v_til = vt_til.T                # ((n_t - 1), r)
+    u_til_1 = u_til[:n_x, :]
+    u_til_2 = u_til[n_x : n_x + n_u, :]
+
+    u_hat, _s_hat, _vt_hat = random_svd(
+        y_out, n_modes, n_iters, DMD_N_OVERSAMPLES, key=k2
+    )
+
+    s_til_diag = jnp.diag(s_til)
+    s_til_inv = pinv_diag(s_til_diag)
+
+    # eq. 29 (dmd_rom.rs:90-97)
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+    tmp_op_scale = mm(mm(mm(u_hat.T, y_out), v_til), s_til_inv)
+    a_til = mm(mm(tmp_op_scale, u_til_1.T), u_hat)
+    # eq. 30 (dmd_rom.rs:100-106)
+    b_til = mm(tmp_op_scale, u_til_2.T)
+    b_op = mm(u_hat, b_til)
+
+    # eq. 36 mode prefactor (dmd_rom.rs:134-139)
+    tmp_modes_scale = mm(
+        mm(mm(mm(y_out, v_til), pinv_diag(s_til_diag)), u_til_1.T), u_hat
+    )
+    return a_til, b_op, tmp_modes_scale
+
+
+@jax.jit
+def _dmdc_modes_kernel(tmp_modes_scale, w_re, w_im):
+    """On-device stage 2: project eigenvectors to DMD modes (eq. 36)."""
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+    return mm(tmp_modes_scale, w_re), mm(tmp_modes_scale, w_im)
+
+
+def _est_a_til_host(lambdas, modes_re, modes_im):
+    """A = Re(Phi diag(lambda) Phi^+), parity with dmd_rom.rs:165-175.
+
+    Complex arithmetic on host (r is small); the resulting real (n_x, n_x)
+    operator is shipped to device for the rollout.
+    """
+    phi = np.asarray(modes_re) + 1j * np.asarray(modes_im)
+    a_comp = (phi * np.asarray(lambdas)[None, :]) @ _pinv_complex_np(phi)
+    return np.real(a_comp)
+
+
+@jax.jit
+def _rollout(a_op, b_op, x0, u_seq):
+    """x <- A x + B u over the columns of u_seq via lax.scan."""
+    def step(x, u_col):
+        x_next = (
+            jnp.matmul(a_op, x, precision=PRECISION)
+            + jnp.matmul(b_op, u_col[:, None], precision=PRECISION)
+        )
+        return x_next, x_next[:, 0]
+
+    _, xs = lax.scan(step, x0, u_seq.T)
+    return xs.T  # (n_x, n_times)
+
+
+class DMDc:
+    """DMD with control. Constructor mirrors PyDMDc
+    (lib_math_utils_py.rs:262-271): ``DMDc(x_data, u_data, n_modes,
+    n_iters)`` with dt fixed at 1.0 like the binding (lib_math_utils_py.rs:269).
+
+    x_data: (n_x, n_t) snapshot columns; u_data: (n_u, n_t) control columns.
+    """
+
+    def __init__(self, x_data, u_data, n_modes: int, n_iters: int,
+                 dt: float = 1.0, key=0):
+        x = jnp.asarray(x_data)
+        u = jnp.asarray(u_data)
+        self.n_snapshots = x.shape[1]
+        self.n_x = x.shape[0]
+        self.n_u = u.shape[0]
+        self.n_modes = int(n_modes)
+        self.dt_snapshots = float(dt)
+        # Stage 1 on device; the tiny r x r nonsymmetric eigensolve on host
+        # LAPACK (TPU/XLA has no nonsymmetric eig, and this environment's
+        # PJRT plugin rejects pure_callback — so the eig runs eagerly
+        # between the two jitted stages); stage 2 back on device.
+        self._A, self._B, tmp_modes_scale = _dmdc_reduce_kernel(
+            x, u, self.n_x, self.n_u, self.n_modes, int(n_iters), as_key(key)
+        )
+        lam, w = np.linalg.eig(np.asarray(self._A))
+        # lambdas stay a host numpy array: TPU devices have no complex dtype
+        self.lambdas = lam
+        self.modes_re, self.modes_im = _dmdc_modes_kernel(
+            tmp_modes_scale,
+            jnp.asarray(np.real(w), x.dtype),
+            jnp.asarray(np.imag(w), x.dtype),
+        )
+        # Reconstruct the full A operator once (the reference redoes this on
+        # every predict call, dmd_rom.rs:191,204).
+        self._a_full = jnp.asarray(
+            _est_a_til_host(self.lambdas, self.modes_re, self.modes_im),
+            x.dtype,
+        )
+
+    def est_a_til(self) -> jnp.ndarray:
+        """Full-state A estimated from the eigendecomposition. dmd_rom.rs:165-175."""
+        return self._a_full
+
+    def est_b_til(self) -> jnp.ndarray:
+        """Full-state B operator. dmd_rom.rs:178-180."""
+        return self._B
+
+    def predict(self, x_0, u_input) -> jnp.ndarray:
+        """One step: A x_0 + B u. Parity with dmd_rom.rs:185-194."""
+        x0 = jnp.asarray(x_0)
+        u = jnp.asarray(u_input)
+        assert x0.shape == (self.n_x, 1)
+        assert u.shape == (self.n_u, 1)
+        return (
+            jnp.matmul(self._a_full, x0, precision=PRECISION)
+            + jnp.matmul(self._B, u, precision=PRECISION)
+        )
+
+    def predict_multiple(self, x_0, u_seq) -> jnp.ndarray:
+        """Roll the dynamics over the columns of u_seq. dmd_rom.rs:199-225.
+
+        Returns (n_x, n_times); column j is the state after stepping with
+        u_seq[:, j] (matching the reference's output layout).
+        """
+        x0 = jnp.asarray(x_0)
+        u = jnp.asarray(u_seq)
+        assert x0.shape == (self.n_x, 1)
+        assert u.shape[0] == self.n_u
+        return _rollout(self._a_full, self._B, x0, u)

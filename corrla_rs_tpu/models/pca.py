@@ -1,0 +1,84 @@
+"""PCA via randomized SVD.
+
+Parity with reference pca_rsvd.rs:13-112 (``PcaRsvd`` + ``ApplyTransform``):
+column-center, RSVD with 20 power iterations and min(n_dim, 10) oversamples
+(pca_rsvd.rs:65-66), store singular values and components (= V rows);
+``explained_var`` = s^2 / (n-1) (pca_rsvd.rs:91-99); forward transform
+centers then projects (pca_rsvd.rs:43-46); inverse transform projects back
+and re-adds the training means (pca_rsvd.rs:49-52).
+
+The fitted state is a pytree of arrays — trivially checkpointable
+(``jnp.savez`` / orbax) and shardable.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from corrla_rs_tpu.ops.mat_utils import PRECISION, col_means
+from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.prng import as_key
+
+# Reference defaults (pca_rsvd.rs:65-66): 20 power iterations,
+# min(n_dim, 10) oversamples.
+PCA_N_ITER = 20
+PCA_MAX_OVERSAMPLES = 10
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "n_iter", "stabilize"))
+def _pca_fit_kernel(x, rank, n_iter, key, stabilize):
+    means = col_means(x)
+    cx = x - means
+    n_oversamples = min(x.shape[1], PCA_MAX_OVERSAMPLES)
+    _u, s, vt = random_svd(
+        cx, rank, n_iter, n_oversamples, key=key, stabilize=stabilize
+    )
+    return means, s, vt
+
+
+class PcaRsvd:
+    """PCA of a (n_samples, n_dim) data matrix using randomized SVD."""
+
+    def __init__(self, x_mat, rank: int, key=0, n_iter: int = PCA_N_ITER,
+                 stabilize: str = "reference"):
+        self.pca_rank = int(rank)
+        self._n_iter = int(n_iter)
+        self._stabilize = stabilize
+        self.fit(x_mat, rank, key=key)
+
+    def fit(self, x_mat, rank: int, key=0):
+        """(Re)fit, parity with pca_rsvd.rs:85-88."""
+        x = jnp.asarray(x_mat)
+        self.pca_rank = int(rank)
+        self.n_samples = x.shape[0]
+        self.means, self.pca_s, self.components_ = _pca_fit_kernel(
+            x, self.pca_rank, self._n_iter, as_key(key), self._stabilize
+        )
+        return self
+
+    def explained_var(self) -> jnp.ndarray:
+        """Per-component explained variance s^2/(n-1). pca_rsvd.rs:91-99."""
+        return self.pca_s**2 / (self.n_samples - 1.0)
+
+    @property
+    def components(self) -> jnp.ndarray:
+        """Principal directions, rows = components (r, n_dim)."""
+        return self.components_
+
+    @property
+    def singular_values(self) -> jnp.ndarray:
+        return self.pca_s
+
+    def apply_tr(self, targ_mat) -> jnp.ndarray:
+        """Center (by the target's own column means, parity with
+        pca_rsvd.rs:43-46 which calls center_mat_col) and project."""
+        t = jnp.asarray(targ_mat)
+        ct = t - col_means(t)
+        return jnp.matmul(ct, self.components_.T, precision=PRECISION)
+
+    def apply_inv_tr(self, red_mat) -> jnp.ndarray:
+        """Map reduced coords back and re-add training means. pca_rsvd.rs:49-52."""
+        r = jnp.asarray(red_mat)
+        return jnp.matmul(r, self.components_, precision=PRECISION) + self.means

@@ -1,0 +1,77 @@
+"""POD with mode-weight interpolation (PodI).
+
+Parity with reference pod_rom.rs:20-119: modes from RSVD of the snapshot
+matrix with 10 power iterations / 10 oversamples (pod_rom.rs:56), optimal
+per-snapshot weights via pinv(modes) (pod_rom.rs:61-75), linear-kernel RBF
+interpolation of each mode weight over the exogenous variable t
+(pod_rom.rs:78-95), prediction y(t) = modes @ w(t) (pod_rom.rs:107-118).
+
+TPU-first deltas:
+- the reference's per-snapshot weight loop is one batched matmul;
+- the reference fits one RbfInterp per mode (pod_rom.rs:84-93) over the
+  *same* support points — here all modes share a single saddle-system solve
+  (the kernel matrix is identical across modes).
+
+Snapshot layout matches the reference: rows = snapshots
+(t.nrows() == x.nrows() asserted at pod_rom.rs:38).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from corrla_rs_tpu.ops.interp import rbf_fit, rbf_predict
+from corrla_rs_tpu.ops.mat_utils import PRECISION, pinv
+from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.prng import as_key
+
+# Reference defaults (pod_rom.rs:56): 10 power iterations, 10 oversamples.
+POD_N_ITER = 10
+POD_N_OVERSAMPLES = 10
+
+
+@functools.partial(jax.jit, static_argnames=("n_modes",))
+def _pod_fit_kernel(x, t, n_modes, key):
+    # modes = V^T of RSVD(snapshots), transposed -> (n_points, n_modes)
+    _u, _s, vt = random_svd(x, n_modes, POD_N_ITER, POD_N_OVERSAMPLES, key=key)
+    modes = vt.T
+    # optimal weights per snapshot: one batched matmul instead of the
+    # reference's per-row loop (pod_rom.rs:66-73)
+    modes_inv = pinv(modes)  # (n_modes, n_points)
+    weights = jnp.matmul(x, modes_inv.T, precision=PRECISION)  # (n_snap, n_modes)
+    # linear-kernel, poly-degree-1 RBF over t for every mode at once
+    coeffs = rbf_fit(t, weights, "linear", 1.0, 1)
+    return modes, weights, coeffs
+
+
+class PodI:
+    """POD + interpolation ROM. Constructor mirrors PyPodI
+    (lib_math_utils_py.rs:231-240): ``PodI(x_data, t, n_modes)``."""
+
+    def __init__(self, x_data, t, n_modes: int, key=0):
+        self.fit(x_data, t, n_modes, key=key)
+
+    def fit(self, x_data, t, n_modes: int, key=0):
+        """(Re)fit, parity with pod_rom.rs:98-101."""
+        x = jnp.asarray(x_data)
+        t = jnp.asarray(t)
+        assert t.shape[0] == x.shape[0], "t rows must match snapshot rows"
+        self.n_snapshots = x.shape[0]
+        self.n_modes = int(n_modes)
+        self.t_abscissa = t
+        self.modes, self.mode_weights, self._rbf_coeffs = _pod_fit_kernel(
+            x, t, self.n_modes, as_key(key)
+        )
+        return self
+
+    def predict(self, t_query) -> jnp.ndarray:
+        """y(t) = sum_i w_i(t) phi_i. Parity with pod_rom.rs:107-118.
+
+        Accepts (n_query, t_dim); returns (n_points, n_query) — for a single
+        query row this matches the reference's (n_points, 1) output.
+        """
+        tq = jnp.asarray(t_query)
+        w = rbf_predict(self.t_abscissa, self._rbf_coeffs, tq, "linear", 1.0, 1)
+        return jnp.matmul(self.modes, w.T, precision=PRECISION)

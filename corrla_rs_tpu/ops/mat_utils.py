@@ -1,0 +1,118 @@
+"""Matrix-utility layer.
+
+Most of the reference's ``mat_utils.rs`` (965 LoC of faer helpers) evaporates
+into ``jnp`` one-liners; this module keeps only the pieces whose *semantics*
+must be preserved for parity with the reference:
+
+- eps-regularized Moore-Penrose pseudoinverse (reference mat_utils.rs:37-53)
+- diagonal pseudoinverse with zero-cutoff (reference mat_utils.rs:386-402)
+- truncated SVD (reference mat_utils.rs:74-83)
+- descending eigen-decomposition sort (reference mat_utils.rs:459-478)
+- column centering / z-scoring (reference mat_utils.rs:482-519)
+- the reference's quirky ``mat_linspace`` (reference mat_utils.rs:600-610)
+
+Everything is a pure jnp function, jit-safe, dtype-polymorphic (f32/f64),
+and runs on the TPU MXU where a matmul is involved.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+# Matmul precision used in accuracy-sensitive cores (power iteration, Gram
+# products). HIGHEST forces full-f32 accumulation on TPU (3-pass bf16x3)
+# instead of default bf16 MXU rounding; required for sigma rel-err < 1e-6.
+PRECISION = lax.Precision.HIGHEST
+
+
+def pinv(a: jnp.ndarray, eps: float = 1.0e-14) -> jnp.ndarray:
+    """Moore-Penrose pseudoinverse with eps-regularized singular values.
+
+    Parity with reference mat_utils.rs:37-53: inverts every singular value
+    as ``1 / (s + eps)`` (no rank cutoff). Identical to the reference on
+    full-rank inputs; like the reference, it amplifies exact-zero singular
+    values to ``1/eps`` — callers that need a rank-revealing pinv should use
+    ``jnp.linalg.pinv`` instead.
+    """
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    s_inv = 1.0 / (s + jnp.asarray(eps, a.dtype))
+    return (vt.T * s_inv[None, :]) @ u.T
+
+
+def pinv_diag(d_mat: jnp.ndarray, eps: float = 1.0e-20) -> jnp.ndarray:
+    """Pseudoinverse of a diagonal matrix with zero cutoff.
+
+    Parity with reference mat_utils.rs:386-402: entries with |d| < eps map
+    to 0, else to ``1 / (d + eps)``.
+    """
+    d = jnp.diagonal(d_mat)
+    inv = jnp.where(jnp.abs(d) < eps, 0.0, 1.0 / (d + jnp.asarray(eps, d.dtype)))
+    out = jnp.zeros_like(d_mat)
+    n = min(d_mat.shape)
+    return out.at[jnp.arange(n), jnp.arange(n)].set(inv.astype(d_mat.dtype))
+
+
+def truncated_svd(a: jnp.ndarray, rank: int):
+    """Exact truncated SVD: (U_r, s_r, Vt_r). Reference mat_utils.rs:74-83."""
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    return u[:, :rank], s[:rank], vt[:rank, :]
+
+
+def sort_evd(eigs: jnp.ndarray, eigvs: jnp.ndarray):
+    """Sort eigenvalues (descending) and reorder eigenvectors to match.
+
+    Parity with reference mat_utils.rs:459-478 (``sort_evd`` +
+    ``argsort_float_rev``): sorts by *value* descending (the reference's
+    docstring says magnitude but its comparator is plain value order).
+
+    Args:
+      eigs: (n,) eigenvalues or (n, n) diagonal matrix of eigenvalues.
+      eigvs: (m, n) eigenvectors as columns.
+    Returns:
+      (sorted_eigs_diag (n, n), sorted_eigvs (m, n))
+    """
+    e = jnp.diagonal(eigs) if eigs.ndim == 2 else eigs
+    order = jnp.argsort(-e)
+    return jnp.diag(e[order]), eigvs[:, order]
+
+
+def col_means(a: jnp.ndarray) -> jnp.ndarray:
+    """Column means as a (1, n) row. Reference mat_utils.rs:87-119."""
+    return jnp.mean(a, axis=0, keepdims=True)
+
+
+def center_mat_col(a: jnp.ndarray) -> jnp.ndarray:
+    """Subtract column means. Reference mat_utils.rs:482-499."""
+    return a - col_means(a)
+
+
+def zcenter_mat_col(a: jnp.ndarray, ddof: int = 1) -> jnp.ndarray:
+    """Center columns to zero mean, unit std (sample std, ddof=1).
+
+    Reference mat_utils.rs:503-519 (``zcenter_mat_col``; reference
+    ``mat_std`` uses the n-1 denominator).
+    """
+    mu = col_means(a)
+    sd = jnp.std(a, axis=0, keepdims=True, ddof=ddof)
+    return (a - mu) / sd
+
+
+def mat_linspace(start: float, end: float, n_steps: int, dtype=None) -> jnp.ndarray:
+    """(n_steps, 1) column of ``i * (end - start) / n_steps``.
+
+    Deliberate parity with the reference quirk (mat_utils.rs:600-610): the
+    ``start`` argument is ignored for the offset (values begin at 0) and the
+    endpoint is excluded. Used by reference tests/fixtures only.
+    """
+    delta = (end - start) / n_steps
+    return (jnp.arange(n_steps, dtype=dtype or jnp.result_type(float)) * delta)[:, None]
+
+
+def complex_from_parts(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """Join real/imag parts into a complex matrix. Reference mat_utils.rs:316-337."""
+    return jnp.asarray(re) + 1j * jnp.asarray(im)
+
+
+def parts_from_complex(c: jnp.ndarray):
+    """Split a complex matrix into (re, im). Reference mat_utils.rs:316-337."""
+    return jnp.real(c), jnp.imag(c)

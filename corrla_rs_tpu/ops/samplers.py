@@ -1,0 +1,314 @@
+"""Constrained-space samplers: Dirichlet rejection + DEMC MCMC.
+
+Parity with reference space_samplers.rs:
+
+- ``constr_dirichlet_sample`` (space_samplers.rs:64-126): draw x with
+  sum_i x_i = c_scale and lb_i <= x_i <= ub_i by rejection. The reference
+  loops shots of ``chunk_size`` Dirichlet deviates on Rayon threads
+  (space_samplers.rs:98-118); here one ``lax.while_loop`` draws whole chunks
+  with ``jax.random.dirichlet`` on-device and scatters accepted rows into a
+  fixed-shape output buffer (masked fill — the jit-safe formulation of
+  "collect until n valid").
+- ``DeMcSampler`` (space_samplers.rs:252-418): differential-evolution MCMC.
+  Proposal x' = x + gamma (x_a - x_b) + U(0, eps) from two random *other*
+  chains (space_samplers.rs:326-347), optional proposal fixup, Metropolis
+  accept (space_samplers.rs:400-417). Rebuild: all chains advance as one
+  vmapped pure function of (state, key); the time loop is ``lax.scan``;
+  ``get_samples`` interleaves chains round-robin exactly like
+  space_samplers.rs:309-323 (observable API ordering).
+
+Log-probability combinators mirror space_samplers.rs:154-250 as plain
+composable Python callables (sample (d,) -> scalar lnp, traced under jit).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import gammaln
+
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = [
+    "constr_dirichlet_sample",
+    "ln_prior_uniform",
+    "ln_like_dirichlet",
+    "ln_like_sum",
+    "DeMcSampler",
+    "demc_run",
+    "demc_step",
+]
+
+
+def _broadcast_alphas(alphas, ndim: int):
+    """Alpha validation/broadcast, parity with space_samplers.rs:76-95."""
+    if alphas is None:
+        return jnp.ones((ndim,))
+    a = jnp.atleast_1d(jnp.asarray(alphas, dtype=jnp.result_type(float)))
+    if a.shape[0] == 1:
+        return jnp.broadcast_to(a, (ndim,))
+    if a.shape[0] != ndim:
+        raise ValueError(
+            "Number of shape parameters to Dirichlet sampler must be ndim "
+            "or 1 for the sym case"
+        )
+    return a
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_samples", "max_zshots", "chunk_size")
+)
+def _rejection_fill(key, bounds, alphas, n_samples, max_zshots, chunk_size,
+                    c_scale):
+    ndim = bounds.shape[0]
+    dtype = bounds.dtype
+    out = jnp.zeros((n_samples, ndim), dtype)
+
+    def cond(state):
+        _key, count, shot, _out = state
+        return (count < n_samples) & (shot < max_zshots)
+
+    def body(state):
+        key, count, shot, out = state
+        key, sub = jax.random.split(key)
+        zs = jax.random.dirichlet(sub, alphas, (chunk_size,), dtype=dtype)
+        zs = zs * c_scale
+        ok = jnp.all(
+            (bounds[:, 0][None, :] <= zs) & (zs <= bounds[:, 1][None, :]),
+            axis=1,
+        )
+        # scatter accepted rows into out[count:]: invalid rows and overflow
+        # rows get an out-of-bounds index and are dropped
+        dest = count + jnp.cumsum(ok.astype(jnp.int32)) - 1
+        dest = jnp.where(ok & (dest < n_samples), dest, n_samples)
+        out = out.at[dest].set(zs, mode="drop")
+        count = jnp.minimum(count + jnp.sum(ok, dtype=jnp.int32), n_samples)
+        return key, count, shot + jnp.int32(1), out
+
+    _key, count, _shot, out = lax.while_loop(
+        cond, body, (key, jnp.int32(0), jnp.int32(0), out)
+    )
+    return out, count
+
+
+def constr_dirichlet_sample(bounds, n_samples: int, max_zshots: int = 500,
+                            chunk_size: int = 20000, c_scale: float = 1.0,
+                            alphas=None, key=0):
+    """Rejection-sample the bounded simplex sum(x) = c_scale.
+
+    Parity with space_samplers.rs:64-126. Raises if ``max_zshots`` chunks
+    were insufficient (the reference silently returns zero-rows; SURVEY.md
+    §2.4 — we fail loudly instead).
+    """
+    bounds = jnp.asarray(bounds, dtype=jnp.result_type(float))
+    alphas = _broadcast_alphas(alphas, bounds.shape[0])
+    out, count = _rejection_fill(
+        as_key(key), bounds, alphas, int(n_samples), int(max_zshots),
+        int(chunk_size), float(c_scale),
+    )
+    if int(count) < n_samples:
+        raise RuntimeError(
+            f"constr_dirichlet_sample: only {int(count)}/{n_samples} valid "
+            f"samples found within max_zshots={max_zshots} chunks of "
+            f"{chunk_size}; loosen bounds or raise max_zshots/chunk_size"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Log-probability combinators (space_samplers.rs:154-250)
+# ---------------------------------------------------------------------------
+
+def ln_prior_uniform(bounds) -> Callable:
+    """Flat prior on an open box: 0 inside, -inf outside.
+
+    Parity with LnPriorUniform (space_samplers.rs:175-199, strict
+    inequalities).
+    """
+    bounds = jnp.asarray(bounds, dtype=jnp.result_type(float))
+
+    def lnp(x):
+        ok = jnp.all((bounds[:, 0] < x) & (x < bounds[:, 1]))
+        return jnp.where(ok, 0.0, -jnp.inf)
+
+    return lnp
+
+
+def ln_like_dirichlet(alphas) -> Callable:
+    """Dirichlet log-pdf. Parity with LnLikeDirichlet
+    (space_samplers.rs:202-229), computed in log space (the reference goes
+    through gamma() products, equivalent up to fp rounding)."""
+    a = jnp.atleast_1d(jnp.asarray(alphas, dtype=jnp.result_type(float)))
+    ln_beta = jnp.sum(gammaln(a)) - gammaln(jnp.sum(a))
+
+    def lnp(x):
+        return jnp.sum((a - 1.0) * jnp.log(x)) - ln_beta
+
+    return lnp
+
+
+def ln_like_sum(*fns: Callable) -> Callable:
+    """Posterior numerator: sum of log terms. space_samplers.rs:232-250."""
+
+    def lnp(x):
+        total = 0.0
+        for f in fns:
+            total = total + f(x)
+        return total
+
+    return lnp
+
+
+# ---------------------------------------------------------------------------
+# DEMC
+# ---------------------------------------------------------------------------
+
+class DemcState(NamedTuple):
+    heads: jnp.ndarray      # (n_chains, ndim)
+    head_lnp: jnp.ndarray   # (n_chains,)
+    key: jnp.ndarray
+    n_accept: jnp.ndarray   # scalar int
+    n_reject: jnp.ndarray   # scalar int
+
+
+def _pick_two_others(key, c, n_chains):
+    """Two distinct chain indices != c, O(1) double-draw (no permutation)."""
+    k1, k2 = jax.random.split(key)
+    a = jax.random.randint(k1, (), 0, n_chains - 1)
+    a = a + (a >= c)
+    b = jax.random.randint(k2, (), 0, n_chains - 2)
+    lo = jnp.minimum(c, a)
+    hi = jnp.maximum(c, a)
+    b = b + (b >= lo)
+    b = b + (b >= hi)
+    return a, b
+
+
+def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
+              prop_fixup_fn=None) -> DemcState:
+    """Advance every chain one DEMC step (vmapped).
+
+    Proposal parity with space_samplers.rs:326-358; all chains propose from
+    the same generation of heads, matching the reference's parallel
+    ``sample_mcmc_par`` (space_samplers.rs:377-393).
+    """
+    n_chains, ndim = state.heads.shape
+    key, k_steps = jax.random.split(state.key)
+    chain_keys = jax.random.split(k_steps, n_chains)
+
+    def one_chain(c, ck, x_cur, lnp_cur):
+        k_pick, k_jit, k_acc = jax.random.split(ck, 3)
+        a, b = _pick_two_others(k_pick, c, n_chains)
+        delta = state.heads[a] - state.heads[b]
+        jitter = jax.random.uniform(
+            k_jit, (ndim,), state.heads.dtype, 0.0, var_epsilon
+        )
+        prop = x_cur + gamma * delta + jitter
+        if prop_fixup_fn is not None:
+            prop = prop_fixup_fn(prop)
+        lnp_prop = ln_prob_fn(prop)
+        # alpha = clip(exp(lnp' - lnp), 0, 1) (space_samplers.rs:400-408)
+        alpha = jnp.exp(jnp.minimum(lnp_prop - lnp_cur, 0.0))
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+        accept = jax.random.uniform(k_acc, (), state.heads.dtype) < alpha
+        x_new = jnp.where(accept, prop, x_cur)
+        lnp_new = jnp.where(accept, lnp_prop, lnp_cur)
+        return x_new, lnp_new, accept
+
+    xs, lnps, accepts = jax.vmap(one_chain)(
+        jnp.arange(n_chains), chain_keys, state.heads, state.head_lnp
+    )
+    n_acc = state.n_accept + jnp.sum(accepts, dtype=jnp.int32)
+    n_rej = state.n_reject + (n_chains - jnp.sum(accepts, dtype=jnp.int32))
+    return DemcState(xs, lnps, key, n_acc, n_rej)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ln_prob_fn", "n_steps", "prop_fixup_fn"),
+)
+def demc_run(init_heads, ln_prob_fn, n_steps: int, gamma: float,
+             var_epsilon: float, key, prop_fixup_fn=None):
+    """Run n_steps of DEMC on all chains; returns (history, state).
+
+    history: (n_steps, n_chains, ndim) — one generation per step.
+    """
+    heads = jnp.asarray(init_heads)
+    lnp0 = jax.vmap(ln_prob_fn)(heads)
+    state = DemcState(
+        heads, lnp0, as_key(key),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+
+    def scan_body(state, _):
+        state = demc_step(state, ln_prob_fn, gamma, var_epsilon, prop_fixup_fn)
+        return state, state.heads
+
+    state, history = lax.scan(scan_body, state, None, length=n_steps)
+    return history, state
+
+
+class DeMcSampler:
+    """Differential-evolution MCMC over parallel chains.
+
+    Mirrors DeMcSampler (space_samplers.rs:252-418): >= 3 chains, gamma,
+    var_epsilon, optional proposal fixup, acceptance bookkeeping, and the
+    round-robin ``get_samples`` readout. ``ln_prob_fn`` maps a single (d,)
+    sample to a scalar log-probability (jit-traceable).
+    """
+
+    def __init__(self, ln_prob_fn: Callable, init_chains, gamma: float,
+                 var_epsilon: float, prop_fixup_fn: Callable | None = None,
+                 key=0):
+        heads = jnp.asarray(init_chains)
+        assert heads.ndim == 2 and heads.shape[0] >= 3, "need >= 3 chains"
+        self.n_chains, self.ndim = heads.shape
+        self.gamma = float(gamma)
+        self.var_epsilon = float(var_epsilon)
+        self.ln_prob_fn = ln_prob_fn
+        self.prop_fixup_fn = prop_fixup_fn
+        self._key = as_key(key)
+        self._heads = heads
+        self._history = [heads[None, :, :]]  # list of (n_steps, n_chains, d)
+        self.n_accept = 0
+        self.n_reject = 0
+
+    def sample_mcmc(self, n_samples: int):
+        """Draw n_samples generations on all chains (one fused scan)."""
+        self._key, run_key = jax.random.split(self._key)
+        history, state = demc_run(
+            self._heads, self.ln_prob_fn, int(n_samples), self.gamma,
+            self.var_epsilon, run_key, self.prop_fixup_fn,
+        )
+        self._heads = state.heads
+        self._history.append(history)
+        self.n_accept += int(state.n_accept)
+        self.n_reject += int(state.n_reject)
+        return self
+
+    # parity alias: the reference's parallel variant is the same math
+    sample_mcmc_par = sample_mcmc
+
+    def accept_ratio(self) -> float:
+        """Global acceptance ratio. space_samplers.rs:396-398."""
+        total = self.n_accept + self.n_reject
+        return self.n_accept / total if total else 0.0
+
+    @property
+    def chain_history(self) -> jnp.ndarray:
+        """(n_generations, n_chains, ndim) including the seed generation."""
+        return jnp.concatenate(self._history, axis=0)
+
+    def get_chain_samples(self, n_tail: int, chain_id: int) -> jnp.ndarray:
+        """Last n_tail samples of one chain. space_samplers.rs:300-305."""
+        return self.chain_history[-n_tail:, chain_id, :]
+
+    def get_samples(self, n_tail: int) -> jnp.ndarray:
+        """Last n_tail generations, chains interleaved round-robin
+        (generation-major, chain-minor), parity with
+        space_samplers.rs:309-323."""
+        tail = self.chain_history[-n_tail:]  # (n_tail, n_chains, d)
+        return tail.reshape(n_tail * self.n_chains, self.ndim)

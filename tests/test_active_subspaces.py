@@ -1,0 +1,133 @@
+"""Active-subspace parity tests (reference active_subspaces.rs:281-386)."""
+import jax.numpy as jnp
+import numpy as np
+
+import corrla_rs_tpu as crt
+from corrla_rs_tpu.models.active_subspaces import (
+    ActiveSsRsvd,
+    PolyGradientEstimator,
+)
+from corrla_rs_tpu.ops.knn import knn
+from corrla_rs_tpu.ops.stats_corr import sample_mv_normal
+from corrla_rs_tpu.utils.testing import assert_mat_approx_eq
+
+
+def test_knn_matches_bruteforce(rng):
+    xs = jnp.asarray(rng.standard_normal((50, 3)))
+    xq = jnp.asarray(rng.standard_normal((7, 3)))
+    d, idx = knn(xq, xs, 5)
+    d_np = np.linalg.norm(
+        np.asarray(xq)[:, None, :] - np.asarray(xs)[None, :, :], axis=-1
+    )
+    idx_np = np.argsort(d_np, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), idx_np)
+    np.testing.assert_allclose(
+        np.asarray(d), np.sort(d_np, axis=1)[:, :5], rtol=1e-10
+    )
+
+
+def test_knn_chunked_matches_unchunked(rng):
+    xs = jnp.asarray(rng.standard_normal((64, 4)))
+    xq = jnp.asarray(rng.standard_normal((33, 4)))
+    d1, i1 = knn(xq, xs, 6)
+    d2, i2 = knn(xq, xs, 6, query_chunk=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-12)
+
+
+def test_grad_est_quadratic(rng):
+    # Parity with active_subspaces.rs:287-322: grad of x1^2 + x2^2.
+    cov = jnp.array([[0.9, 0.5], [0.5, 0.9]])
+    x = sample_mv_normal(cov, 100, key=0, mode="reference")
+    y = (x[:, 0] ** 2 + x[:, 1] ** 2)[:, None]
+    est = PolyGradientEstimator(x, y, est_order=2, n_nbrs=14)
+
+    g0 = est.grad_at(jnp.array([0.0, 0.0]))
+    assert_mat_approx_eq(g0, jnp.array([[0.0, 0.0]]), 1e-2)
+    g1 = est.grad_at(jnp.array([1.0, 0.0]))
+    assert_mat_approx_eq(g1, jnp.array([[2.0, 0.0]]), 1e-2)
+    g2 = est.grad_at(jnp.array([-1.0, 0.0]))
+    assert_mat_approx_eq(g1, -g2, 1e-2)
+
+
+def test_grad_est_linear_order(rng):
+    x = jnp.asarray(rng.standard_normal((200, 3)))
+    y = (2.0 * x[:, 0] - 0.5 * x[:, 1] + 3.0)[:, None]
+    est = PolyGradientEstimator(x, y, est_order=1, n_nbrs=10)
+    g = est.grad_batch(x[:5])
+    expect = jnp.tile(jnp.array([[2.0, -0.5, 0.0]]), (5, 1))
+    assert_mat_approx_eq(g, expect, 1e-8)
+
+
+def _aniso_fixture():
+    # Parity with active_subspaces.rs:324-385.
+    cov = jnp.array(
+        [[0.9, 0.5, 0.5], [0.5, 0.9, 0.5], [0.5, 0.5, 0.9]]
+    )
+    x = sample_mv_normal(cov, 100, key=1, mode="reference")
+    y = (0.2 * x[:, 0] + 0.5 * x[:, 1] ** 2 + 0.1 * x[:, 2] * x[:, 0])[:, None]
+    return x, y
+
+
+def test_active_ss_evd_path():
+    x, y = _aniso_fixture()
+    est = PolyGradientEstimator(x, y, est_order=2, n_nbrs=14)
+    fitted = ActiveSsRsvd(est, 2).fit(x)
+
+    comps = fitted.components
+    vals = fitted.singular_vals
+    assert comps.shape == (3, 2)
+    # x2 dominates gradient variability -> first component dominated by x2
+    assert abs(float(comps[0, 0])) < abs(float(comps[1, 0]))
+    assert float(vals[0, 0]) > float(vals[1, 1])
+
+    # gradient check at a point (active_subspaces.rs:364-367)
+    g = est.grad_at(jnp.array([0.0, 1.0, 0.0]))
+    assert_mat_approx_eq(g, jnp.array([[0.2, 1.0, 0.0]]), 1e-1)
+
+    # transform round shapes (active_subspaces.rs:370-373)
+    tr = fitted.transform(x)
+    assert tr.shape == (100, 2)
+    back = fitted.inv_transform(tr)
+    assert back.shape == (100, 3)
+
+    # sensitivity: x2 dominates (active_subspaces.rs:379-384)
+    sens = fitted.var_diag_evd_sensi()
+    assert sens.shape == (3,)
+    assert float(sens[1]) > float(sens[0])
+    assert float(sens[1]) > float(sens[2])
+    # the corrected activity score agrees on the dominant variable
+    act = fitted.activity_scores()
+    assert float(act[1]) > float(act[0])
+    assert float(act[1]) > float(act[2])
+
+
+def test_active_ss_svd_path_matches_evd():
+    x, y = _aniso_fixture()
+    est = PolyGradientEstimator(x, y, est_order=2, n_nbrs=14)
+    ass = ActiveSsRsvd(est, 2)
+    f_evd = ass.fit(x)
+    f_svd = ass.fit_svd(x)
+    # singular values of G/sqrt(N) squared == eigenvalues of G G^T / N
+    evd_vals = np.diagonal(np.asarray(f_evd.singular_vals_))[:2]
+    svd_vals = np.diagonal(np.asarray(f_svd.singular_vals_))[:2] ** 2
+    np.testing.assert_allclose(svd_vals, evd_vals, rtol=1e-6)
+    # leading directions align up to sign
+    for j in range(2):
+        dot = abs(
+            float(
+                jnp.dot(f_evd.components[:, j], f_svd.components[:, j])
+            )
+        )
+        assert dot > 1.0 - 1e-6
+
+
+def test_active_ss_public_surface():
+    # README demo shape check (readme.md:104-110): x (1000, 10) order 1.
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1000, 10)))
+    y = jnp.asarray(rng.standard_normal((1000, 1)))
+    comps, vals, sensi = crt.active_ss(x, y, 1, 30, 8)
+    assert comps.shape == (10, 8)
+    assert vals.shape == (10, 8)
+    assert sensi.shape == (10,)

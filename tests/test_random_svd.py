@@ -1,0 +1,113 @@
+"""RSVD parity tests (oracles from reference random_svd.rs:113-197)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import corrla_rs_tpu as crt
+from corrla_rs_tpu.ops.random_svd import power_iter, random_svd
+from corrla_rs_tpu.utils.testing import assert_mat_approx_eq
+
+# Oracle from reference random_svd.rs:154-196: known SVD of a low-rank 5x5.
+LOWRANK_A = jnp.array(
+    [
+        [1.0, 0.0, 0.0, 0.0, 2.0],
+        [0.0, 0.0, 3.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 2.0, 0.0, 0.0, 0.0],
+    ]
+)
+EXPECTED_S = jnp.array([3.0, np.sqrt(5.0), 2.0, 0.0, 0.0])
+
+
+def test_rsvd_lowrank_oracle():
+    _u, s, _vt = random_svd(LOWRANK_A, 5, 12, 10, key=0)
+    assert_mat_approx_eq(s, EXPECTED_S, 1e-3)
+
+
+def test_rsvd_lowrank_truncated():
+    _u, s, _vt = random_svd(LOWRANK_A, 3, 12, 10, key=0)
+    assert s.shape == (3,)
+    assert_mat_approx_eq(s, EXPECTED_S[:3], 1e-3)
+
+
+def test_rsvd_shapes_thin(rng):
+    a = jnp.asarray(rng.standard_normal((200, 30)))
+    u, s, vt = random_svd(a, 4, 12, 10, key=1)
+    assert u.shape == (200, 4) and s.shape == (4,) and vt.shape == (4, 30)
+    # Reconstruction has the right shape and approximates A's top subspace
+    approx = u @ jnp.diag(s) @ vt
+    assert approx.shape == a.shape
+
+
+def test_rsvd_fat_matches_thin(rng):
+    a = jnp.asarray(rng.standard_normal((30, 200)))
+    u, s, vt = random_svd(a, 4, 12, 10, key=1)
+    assert u.shape == (30, 4) and vt.shape == (4, 200)
+    _, s_exact, _ = np.linalg.svd(np.asarray(a))
+    np.testing.assert_allclose(np.asarray(s), s_exact[:4], rtol=1e-4)
+
+
+def test_rsvd_vs_exact_svd(rng):
+    # On a tall Gaussian matrix, leading singular values from RSVD with
+    # plenty of power iterations match LAPACK.
+    # Gaussian spectra decay slowly, so the power iteration converges the
+    # trailing requested sigmas only to ~1e-3 rel (same for the reference,
+    # whose oracle asserts 1e-3 on exact-low-rank fixtures only).
+    a = jnp.asarray(rng.standard_normal((500, 50)))
+    _u, s, _vt = random_svd(a, 6, 12, 10, key=2)
+    s_exact = np.linalg.svd(np.asarray(a), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), s_exact[:6], rtol=5e-3)
+
+
+def test_rsvd_reconstruction_error_lowrank(rng):
+    # Exact-rank matrix: RSVD reconstructs to near machine precision.
+    b = rng.standard_normal((100, 8)) @ rng.standard_normal((8, 60))
+    a = jnp.asarray(b)
+    u, s, vt = random_svd(a, 8, 12, 10, key=3)
+    assert_mat_approx_eq(u @ jnp.diag(s) @ vt, a, 1e-8)
+
+
+def test_rsvd_seeded_reproducible(rng):
+    a = jnp.asarray(rng.standard_normal((50, 20)))
+    u1, s1, v1 = random_svd(a, 4, 8, 10, key=7)
+    u2, s2, v2 = random_svd(a, 4, 8, 10, key=7)
+    assert_mat_approx_eq(u1, u2)
+    assert_mat_approx_eq(s1, s2)
+
+
+def test_power_iter_orthonormal(rng):
+    a = jnp.asarray(rng.standard_normal((100, 30)))
+    q = power_iter(a, 10, 8, key=0)
+    assert q.shape == (100, 10)
+    assert_mat_approx_eq(q.T @ q, jnp.eye(10), 1e-10)
+
+
+@pytest.mark.parametrize("stabilize", ["reference", "always"])
+def test_stabilize_modes_agree_on_sigma(rng, stabilize):
+    a = jnp.asarray(rng.standard_normal((300, 40)))
+    _u, s, _vt = random_svd(a, 5, 12, 10, key=0, stabilize=stabilize)
+    s_exact = np.linalg.svd(np.asarray(a), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), s_exact[:5], rtol=1e-3)
+
+
+def test_public_rsvd_surface(rng):
+    # README demo config (reference readme.md:98-100): 100x100, rank 10,
+    # 12 iters, 8 oversamples. Public surface returns S as (r, 1).
+    a = jnp.asarray(rng.standard_normal((100, 100)))
+    u, s, vt = crt.rsvd(a, 10, 12, 8)
+    assert u.shape == (100, 10) and s.shape == (10, 1) and vt.shape == (10, 100)
+    s_exact = np.linalg.svd(np.asarray(a), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s[:, 0]), s_exact[:10], rtol=5e-3)
+
+
+def test_rsvd_jit_under_vmap(rng):
+    # The core must compose with JAX transforms: batch of matrices.
+    batch = jnp.asarray(rng.standard_normal((4, 60, 20)))
+    fn = lambda m: random_svd(m, 3, 8, 10, key=0)[1]
+    s_batch = jax.vmap(fn)(batch)
+    assert s_batch.shape == (4, 3)
+    for i in range(4):
+        s_exact = np.linalg.svd(np.asarray(batch[i]), compute_uv=False)
+        np.testing.assert_allclose(np.asarray(s_batch[i]), s_exact[:3], rtol=1e-6)
