@@ -1,0 +1,151 @@
+"""Multi-chip randomized SVD: row-sharded A over an ICI mesh.
+
+The north-star speed lever (SURVEY.md §7 stage 4). The tall matrix A
+(n, m) is sharded along its row axis across the mesh; per power iteration:
+
+    Y_l   = A_l @ Omega                       (local MXU matmul)
+    Z     = psum_rows(A_l^T @ Y_l)            (Gram reduction over ICI)
+    Y_l   = A_l @ Z                           (local MXU matmul)
+
+The distributed thin-QR is CholeskyQR2 (two rounds of
+G = psum(Y_l^T Y_l); R = chol(G); Y_l <- Y_l R^-T) with a trace-scaled
+ridge on G for f32 safety — communication is two k x k psums per QR, so
+the collective payload is tiny compared to the local FLOPs.
+
+The small B = psum(Q_l^T A_l) SVD is replicated on every chip
+(k x m with k = rank + oversamples).
+
+Matches single-device ``random_svd`` semantics (same sketch for the same
+key; oracle parity tests assert agreement on a faked multi-device CPU
+backend).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.parallel.mesh import make_mesh, row_sharding
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = ["sharded_random_svd", "sharded_power_iter_qr"]
+
+
+def _chol_qr_once(y_l, axis_name, ridge):
+    """One CholeskyQR round on a row-sharded matrix."""
+    g = lax.psum(jnp.matmul(y_l.T, y_l, precision=PRECISION), axis_name)
+    k = g.shape[0]
+    g = g + (ridge * jnp.trace(g) / k) * jnp.eye(k, dtype=g.dtype)
+    r = jnp.linalg.cholesky(g, upper=True)
+    # Y R^{-1}: solve R^T X^T = Y^T  ->  X = Y @ inv(R)
+    q_l = lax.linalg.triangular_solve(
+        r, y_l, left_side=False, lower=False
+    )
+    return q_l
+
+
+def _chol_qr2(y_l, axis_name, dtype):
+    """CholeskyQR2: numerically equivalent to thin QR for our use."""
+    ridge = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-12, dtype)
+    q_l = _chol_qr_once(y_l, axis_name, ridge)
+    q_l = _chol_qr_once(q_l, axis_name, jnp.zeros((), dtype))
+    return q_l
+
+
+def _power_iter_sharded(a_l, omega, n_iter, stabilize, axis_name):
+    """Row-sharded randomized range finder; returns row-sharded Q_l."""
+    dtype = a_l.dtype
+    y_l = jnp.matmul(a_l, omega, precision=PRECISION)
+
+    def body(i, y_l):
+        if stabilize == "always":
+            y_l = _chol_qr2(y_l, axis_name, dtype)
+        else:
+            y_l = lax.cond(
+                i > 2,
+                lambda q: _chol_qr2(q, axis_name, dtype),
+                lambda q: q,
+                y_l,
+            )
+        z = lax.psum(jnp.matmul(a_l.T, y_l, precision=PRECISION), axis_name)
+        y_l = jnp.matmul(a_l, z, precision=PRECISION)
+        norm2 = lax.psum(jnp.sum(y_l * y_l), axis_name)
+        y_l = y_l / jnp.sqrt(norm2)
+        return y_l
+
+    y_l = lax.fori_loop(0, n_iter, body, y_l)
+    return _chol_qr2(y_l, axis_name, dtype)
+
+
+def sharded_power_iter_qr(a_l, omega, n_iter, stabilize, axis_name):
+    """shard_map-callable randomized range finder (exported for reuse)."""
+    return _power_iter_sharded(a_l, omega, n_iter, stabilize, axis_name)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "omega_rank", "n_iter", "n_oversamples", "stabilize", "mesh",
+        "axis_name",
+    ),
+)
+def _sharded_rsvd_jit(a, omega_rank, n_iter, n_oversamples, key, stabilize,
+                      mesh, axis_name):
+    n, m = a.shape
+    sketch_rank = min(omega_rank + n_oversamples, m)
+    rank = min(omega_rank, sketch_rank)
+    omega = jax.random.normal(as_key(key), (m, sketch_rank), dtype=a.dtype)
+
+    def kernel(a_l, omega):
+        q_l = _power_iter_sharded(a_l, omega, n_iter, stabilize, axis_name)
+        b = lax.psum(jnp.matmul(q_l.T, a_l, precision=PRECISION), axis_name)
+        u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+        u_l = jnp.matmul(q_l, u_b, precision=PRECISION)
+        return u_l, s, vt
+
+    u, s, vt = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=(P(axis_name, None), P(), P()),
+    )(a, omega)
+    return u[:, :rank], s[:rank], vt[:rank, :]
+
+
+def sharded_random_svd(a, omega_rank: int, n_iter: int, n_oversamples: int,
+                       key=0, stabilize: str = "always", mesh=None,
+                       axis_name: str | None = None):
+    """Randomized SVD of a tall row-sharded matrix over a device mesh.
+
+    Args:
+      a: (n, m) with n >= m, n divisible by mesh size. Will be placed
+         row-sharded if not already.
+      stabilize: 'always' (default here — CholeskyQR2 is cheap relative to
+         the sharded matmuls and much safer in f32) or 'reference'.
+      mesh: 1-D jax.sharding.Mesh; defaults to all devices.
+    Returns:
+      (U (n, r) row-sharded, s (r,), Vt (r, m)) — identical semantics to
+      ops.random_svd.random_svd for the same key, modulo fp reduction order.
+    """
+    mesh = mesh or make_mesh()
+    axis_name = axis_name or mesh.axis_names[0]
+    a = jnp.asarray(a)
+    n_dev = mesh.shape[axis_name]
+    if a.shape[0] < a.shape[1]:
+        raise ValueError(
+            "sharded_random_svd expects a tall (n >= m) matrix; transpose "
+            "fat inputs at the caller (layout choice)"
+        )
+    if a.shape[0] % n_dev != 0:
+        raise ValueError(
+            f"rows ({a.shape[0]}) must divide the mesh axis size ({n_dev})"
+        )
+    a = jax.device_put(a, row_sharding(mesh, axis_name))
+    return _sharded_rsvd_jit(
+        a, omega_rank, n_iter, n_oversamples, as_key(key), stabilize, mesh,
+        axis_name,
+    )

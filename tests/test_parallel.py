@@ -1,0 +1,97 @@
+"""Multi-chip tests on the faked 8-device CPU backend.
+
+The multi-chip correctness story (SURVEY.md §4): sharded kernels must match
+their single-device counterparts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.ops.samplers import ln_like_sum, ln_prior_uniform
+from corrla_rs_tpu.parallel.mesh import (
+    CHAINS_AXIS,
+    make_mesh,
+    row_sharding,
+    shard_rows,
+)
+from corrla_rs_tpu.parallel.sharded_rsvd import sharded_random_svd
+from corrla_rs_tpu.parallel.sharded_samplers import demc_run_sharded
+
+
+def _require_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+
+def test_mesh_and_sharding():
+    _require_8()
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    a = jnp.ones((16, 4))
+    a_sh = shard_rows(a, mesh)
+    assert a_sh.sharding == row_sharding(mesh)
+
+
+def test_sharded_rsvd_matches_single_device(rng):
+    _require_8()
+    mesh = make_mesh(8)
+    a = jnp.asarray(rng.standard_normal((240, 32)))
+    u_s, s_s, vt_s = sharded_random_svd(a, 5, 10, 8, key=0, mesh=mesh)
+    # exact singular values from LAPACK as ground truth
+    s_exact = np.linalg.svd(np.asarray(a), compute_uv=False)[:5]
+    np.testing.assert_allclose(np.asarray(s_s), s_exact, rtol=1e-3)
+    # and the single-device rsvd agrees at the same tolerance
+    _u1, s_1, _vt1 = random_svd(a, 5, 10, 8, key=0, stabilize="always")
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_1), rtol=1e-3)
+
+
+def test_sharded_rsvd_reconstruction_lowrank(rng):
+    _require_8()
+    mesh = make_mesh(8)
+    b = rng.standard_normal((160, 6)) @ rng.standard_normal((6, 40))
+    a = jnp.asarray(b)
+    u, s, vt = sharded_random_svd(a, 6, 10, 8, key=1, mesh=mesh)
+    recon = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    np.testing.assert_allclose(recon, b, atol=1e-7)
+
+
+def test_sharded_rsvd_output_sharded(rng):
+    _require_8()
+    mesh = make_mesh(8)
+    a = jnp.asarray(rng.standard_normal((80, 16)))
+    u, _s, _vt = sharded_random_svd(a, 3, 6, 5, key=0, mesh=mesh)
+    assert u.shape == (80, 3)
+    # U comes back row-sharded over the mesh
+    assert u.sharding.spec[0] == mesh.axis_names[0]
+
+
+def test_sharded_rsvd_validates_shapes(rng):
+    _require_8()
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        sharded_random_svd(jnp.ones((10, 20)), 2, 4, 4, mesh=mesh)  # fat
+    with pytest.raises(ValueError):
+        sharded_random_svd(jnp.ones((30, 4)), 2, 4, 4, mesh=mesh)  # 30 % 8
+
+
+def test_sharded_demc_gaussian():
+    _require_8()
+    mesh = make_mesh(8, axis_name=CHAINS_AXIS)
+    mu, std = 2.0, 3.0
+
+    def lnp_like(x):
+        return -0.5 * ((x[0] - mu) / std) ** 2 - jnp.log(std)
+
+    lnp = ln_like_sum(lnp_like, ln_prior_uniform(np.array([[-20.0, 20.0]])))
+    heads0 = jnp.zeros((16, 1))  # 2 chains per device
+    hist, final_heads, ar = demc_run_sharded(
+        heads0, lnp, 4000, gamma=0.8, var_epsilon=1e-10, key=0, mesh=mesh
+    )
+    assert hist.shape == (4000, 16, 1)
+    assert final_heads.shape == (16, 1)
+    tail = np.asarray(hist[-1500:]).reshape(-1)
+    assert abs(tail.mean() - mu) < 5e-1
+    assert abs(tail.std(ddof=1) - std) < 5e-1
+    assert ar > 0.2
