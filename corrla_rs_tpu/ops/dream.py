@@ -1,0 +1,207 @@
+"""DREAM: DiffeRential Evolution Adaptive Metropolis.
+
+The reference README advertises DREAM (readme.md:44) but only implements
+plain DEMC (space_samplers.rs:252-418 has no adaptive crossover, no
+multi-pair proposals, no gamma=1 mode jumps — SURVEY.md §2.4 item 4). This
+module is the real thing, per Vrugt et al. 2009 ("Accelerating Markov chain
+Monte Carlo simulation by differential evolution with self-adaptive
+randomized subspace sampling"):
+
+- multi-pair proposals: delta ~ U{1..delta_max} chain-pair differences
+- subspace sampling: each dimension updated with probability CR
+- adaptive crossover: nCR candidate CR values with selection probabilities
+  adapted from normalized jump distances during burn-in
+- gamma = 2.38 / sqrt(2 delta d') with unit-gamma mode jumps at probability
+  p_gamma1 (default 0.2, i.e. every ~5th generation)
+- (1+e) multiplicative and eps additive proposal noise
+
+TPU-first: all chains advance as one vmapped generation inside ``lax.scan``
+— this is the ">= 1M samples/sec" north-star kernel (BASELINE.json).
+Outlier-chain correction (IQR test on chain means) is intentionally left
+out in favor of detailed balance; burn-in adaptation freezes after
+``n_adapt`` generations so the stationary chain is a valid MCMC.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from corrla_rs_tpu.ops.samplers import pick_others_batched
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = ["DreamState", "dream_run", "DreamSampler"]
+
+
+class DreamState(NamedTuple):
+    heads: jnp.ndarray       # (n_chains, d)
+    head_lnp: jnp.ndarray    # (n_chains,)
+    key: jnp.ndarray
+    p_cr: jnp.ndarray        # (n_cr,) crossover selection probabilities
+    jump_dist: jnp.ndarray   # (n_cr,) accumulated normalized jump distance
+    n_id: jnp.ndarray        # (n_cr,) uses per CR value
+    n_accept: jnp.ndarray    # scalar int32
+    t: jnp.ndarray           # generation counter
+
+
+def _dream_generation(state: DreamState, ln_prob_fn, delta_max, n_cr,
+                      gamma_jump_prob, b, b_star, n_adapt, prop_fixup_fn):
+    n_chains, d = state.heads.shape
+    dtype = state.heads.dtype
+    keys = jax.random.split(state.key, 10)
+    key = keys[0]
+    # chain spread for jump-distance normalization (guard zeros)
+    chain_std = jnp.std(state.heads, axis=0) + 1e-30
+
+    # All per-chain randomness is drawn as whole batched tensors — one PRNG
+    # dispatch per quantity — so a generation is O(n_chains) total work.
+    pairs = pick_others_batched(keys[1], n_chains, 2 * delta_max)
+    delta = jax.random.randint(keys[2], (n_chains,), 1, delta_max + 1)
+    pair_mask = (
+        jnp.arange(delta_max)[None, :] < delta[:, None]
+    ).astype(dtype)[..., None]                       # (n, dm, 1)
+    a_idx = pairs[:, :delta_max]
+    b_idx = pairs[:, delta_max:]
+    diff = jnp.sum(
+        (state.heads[a_idx] - state.heads[b_idx]) * pair_mask, axis=1
+    )                                                 # (n, d)
+
+    # crossover values
+    cr_ids = jax.random.categorical(
+        keys[3], jnp.log(state.p_cr), shape=(n_chains,)
+    )
+    cr = (cr_ids.astype(dtype) + 1.0) / n_cr
+    z = jax.random.uniform(keys[4], (n_chains, d), dtype)
+    mask = z < cr[:, None]
+    # guarantee at least one updated dimension per chain
+    force = jax.random.randint(keys[5], (n_chains,), 0, d)
+    mask = mask.at[jnp.arange(n_chains), force].set(True)
+    d_eff = jnp.sum(mask.astype(dtype), axis=1)
+
+    gamma = 2.38 / jnp.sqrt(2.0 * delta.astype(dtype) * d_eff)
+    unit_jump = jax.random.uniform(keys[6], (n_chains,), dtype) < gamma_jump_prob
+    gamma = jnp.where(unit_jump, jnp.asarray(1.0, dtype), gamma)
+
+    e = jax.random.uniform(keys[7], (n_chains, d), dtype, -b, b)
+    eps = b_star * jax.random.normal(keys[8], (n_chains, d), dtype)
+    step = (1.0 + e) * gamma[:, None] * diff + eps
+    prop = jnp.where(mask, state.heads + step, state.heads)
+    if prop_fixup_fn is not None:
+        prop = jax.vmap(prop_fixup_fn)(prop)
+
+    lnp_prop = jax.vmap(ln_prob_fn)(prop)
+    alpha = jnp.exp(jnp.minimum(lnp_prop - state.head_lnp, 0.0))
+    alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+    accepts = jax.random.uniform(keys[9], (n_chains,), dtype) < alpha
+    xs = jnp.where(accepts[:, None], prop, state.heads)
+    lnps = jnp.where(accepts, lnp_prop, state.head_lnp)
+    # squared normalized jump distance of the realized moves
+    jds = jnp.sum(((xs - state.heads) / chain_std) ** 2, axis=1)
+
+    # crossover adaptation (burn-in only)
+    jump_dist = state.jump_dist + jnp.zeros_like(state.jump_dist).at[cr_ids].add(jds)
+    n_id = state.n_id + jnp.zeros_like(state.n_id).at[cr_ids].add(1.0)
+    mean_jump = jump_dist / jnp.maximum(n_id, 1.0)
+    p_cr_new = mean_jump / jnp.maximum(jnp.sum(mean_jump), 1e-30)
+    p_cr_new = jnp.maximum(p_cr_new, 0.05 / n_cr)  # keep every CR alive
+    p_cr_new = p_cr_new / jnp.sum(p_cr_new)
+    adapting = state.t < n_adapt
+    p_cr = jnp.where(adapting, p_cr_new, state.p_cr)
+
+    return DreamState(
+        xs, lnps, key, p_cr, jump_dist, n_id,
+        state.n_accept + jnp.sum(accepts, dtype=jnp.int32),
+        state.t + 1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ln_prob_fn", "n_steps", "delta_max", "n_cr", "prop_fixup_fn",
+        "n_adapt",
+    ),
+)
+def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
+              delta_max: int = 3, n_cr: int = 3, gamma_jump_prob: float = 0.2,
+              b: float = 0.05, b_star: float = 1e-6, n_adapt: int = 0,
+              prop_fixup_fn=None):
+    """Run n_steps DREAM generations; returns (history, final_state).
+
+    history: (n_steps, n_chains, d). ``n_adapt``: generations of crossover
+    adaptation (0 = fixed uniform CR probabilities; for a valid stationary
+    chain discard at least the first n_adapt generations).
+    """
+    heads = jnp.asarray(init_heads)
+    n_chains = heads.shape[0]
+    assert n_chains >= 2 * delta_max + 1, (
+        "DREAM needs n_chains >= 2*delta_max + 1"
+    )
+    lnp0 = jax.vmap(ln_prob_fn)(heads)
+    state = DreamState(
+        heads, lnp0, as_key(key),
+        jnp.ones((n_cr,), heads.dtype) / n_cr,
+        jnp.zeros((n_cr,), heads.dtype),
+        jnp.zeros((n_cr,), heads.dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+
+    def body(state, _):
+        state = _dream_generation(
+            state, ln_prob_fn, delta_max, n_cr, gamma_jump_prob, b, b_star,
+            n_adapt, prop_fixup_fn,
+        )
+        return state, state.heads
+
+    state, history = lax.scan(body, state, None, length=n_steps)
+    return history, state
+
+
+class DreamSampler:
+    """Stateful wrapper mirroring the DeMcSampler surface (get_samples,
+    accept_ratio) with DREAM proposals."""
+
+    def __init__(self, ln_prob_fn: Callable, init_chains, delta_max: int = 3,
+                 n_cr: int = 3, gamma_jump_prob: float = 0.2, b: float = 0.05,
+                 b_star: float = 1e-6, n_adapt: int = 0,
+                 prop_fixup_fn: Callable | None = None, key=0):
+        heads = jnp.asarray(init_chains)
+        self.n_chains, self.ndim = heads.shape
+        self.ln_prob_fn = ln_prob_fn
+        self.cfg = dict(
+            delta_max=delta_max, n_cr=n_cr, gamma_jump_prob=gamma_jump_prob,
+            b=b, b_star=b_star, n_adapt=n_adapt,
+        )
+        self.prop_fixup_fn = prop_fixup_fn
+        self._key = as_key(key)
+        self._heads = heads
+        self._history = [heads[None, :, :]]
+        self.n_accept = 0
+        self.n_total = 0
+
+    def sample_mcmc(self, n_samples: int):
+        self._key, run_key = jax.random.split(self._key)
+        history, state = dream_run(
+            self._heads, self.ln_prob_fn, int(n_samples), key=run_key,
+            prop_fixup_fn=self.prop_fixup_fn, **self.cfg,
+        )
+        self._heads = state.heads
+        self._history.append(history)
+        self.n_accept += int(state.n_accept)
+        self.n_total += int(n_samples) * self.n_chains
+        return self
+
+    def accept_ratio(self) -> float:
+        return self.n_accept / self.n_total if self.n_total else 0.0
+
+    @property
+    def chain_history(self) -> jnp.ndarray:
+        return jnp.concatenate(self._history, axis=0)
+
+    def get_samples(self, n_tail: int) -> jnp.ndarray:
+        tail = self.chain_history[-n_tail:]
+        return tail.reshape(n_tail * self.n_chains, self.ndim)

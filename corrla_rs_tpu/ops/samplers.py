@@ -187,6 +187,27 @@ def _pick_two_others(key, c, n_chains):
     return a, b
 
 
+def pick_others_batched(key, n_chains: int, k: int) -> jnp.ndarray:
+    """(n_chains, k) random indices, distinct per row and != the row index.
+
+    O(k^2) work per chain (k is tiny) via sequential draws from shrinking
+    ranges with sorted-exclusion shifting — the batched generalization of
+    ``_pick_two_others``. This keeps one DEMC/DREAM generation O(n_chains)
+    total (a per-chain ``jax.random.permutation`` would be O(n_chains^2)
+    per step and measurably collapses throughput past ~2k chains).
+    """
+    keys = jax.random.split(key, k)
+    c = jnp.arange(n_chains)
+    chosen = []
+    for j in range(k):
+        r = jax.random.randint(keys[j], (n_chains,), 0, n_chains - 1 - j)
+        exc = jnp.sort(jnp.stack([c] + chosen, axis=1), axis=1)
+        for m in range(j + 1):
+            r = r + (r >= exc[:, m])
+        chosen.append(r)
+    return jnp.stack(chosen, axis=1)
+
+
 def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
               prop_fixup_fn=None) -> DemcState:
     """Advance every chain one DEMC step (vmapped).
@@ -196,31 +217,26 @@ def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
     ``sample_mcmc_par`` (space_samplers.rs:377-393).
     """
     n_chains, ndim = state.heads.shape
-    key, k_steps = jax.random.split(state.key)
-    chain_keys = jax.random.split(k_steps, n_chains)
+    dtype = state.heads.dtype
+    key, k_pick, k_jit, k_acc = jax.random.split(state.key, 4)
 
-    def one_chain(c, ck, x_cur, lnp_cur):
-        k_pick, k_jit, k_acc = jax.random.split(ck, 3)
-        a, b = _pick_two_others(k_pick, c, n_chains)
-        delta = state.heads[a] - state.heads[b]
-        jitter = jax.random.uniform(
-            k_jit, (ndim,), state.heads.dtype, 0.0, var_epsilon
-        )
-        prop = x_cur + gamma * delta + jitter
-        if prop_fixup_fn is not None:
-            prop = prop_fixup_fn(prop)
-        lnp_prop = ln_prob_fn(prop)
-        # alpha = clip(exp(lnp' - lnp), 0, 1) (space_samplers.rs:400-408)
-        alpha = jnp.exp(jnp.minimum(lnp_prop - lnp_cur, 0.0))
-        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
-        accept = jax.random.uniform(k_acc, (), state.heads.dtype) < alpha
-        x_new = jnp.where(accept, prop, x_cur)
-        lnp_new = jnp.where(accept, lnp_prop, lnp_cur)
-        return x_new, lnp_new, accept
-
-    xs, lnps, accepts = jax.vmap(one_chain)(
-        jnp.arange(n_chains), chain_keys, state.heads, state.head_lnp
+    # all per-chain randomness drawn as whole batched tensors (one PRNG
+    # dispatch each) — per-chain key splitting dominates at >1k chains
+    pairs = pick_others_batched(k_pick, n_chains, 2)
+    delta = state.heads[pairs[:, 0]] - state.heads[pairs[:, 1]]
+    jitter = jax.random.uniform(
+        k_jit, (n_chains, ndim), dtype, 0.0, var_epsilon
     )
+    prop = state.heads + gamma * delta + jitter
+    if prop_fixup_fn is not None:
+        prop = jax.vmap(prop_fixup_fn)(prop)
+    lnp_prop = jax.vmap(ln_prob_fn)(prop)
+    # alpha = clip(exp(lnp' - lnp), 0, 1) (space_samplers.rs:400-408)
+    alpha = jnp.exp(jnp.minimum(lnp_prop - state.head_lnp, 0.0))
+    alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+    accepts = jax.random.uniform(k_acc, (n_chains,), dtype) < alpha
+    xs = jnp.where(accepts[:, None], prop, state.heads)
+    lnps = jnp.where(accepts, lnp_prop, state.head_lnp)
     n_acc = state.n_accept + jnp.sum(accepts, dtype=jnp.int32)
     n_rej = state.n_reject + (n_chains - jnp.sum(accepts, dtype=jnp.int32))
     return DemcState(xs, lnps, key, n_acc, n_rej)

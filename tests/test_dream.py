@@ -1,0 +1,89 @@
+"""DREAM sampler tests (feature the reference README promised, readme.md:44)."""
+import jax.numpy as jnp
+import numpy as np
+
+from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
+from corrla_rs_tpu.ops.samplers import (
+    constr_dirichlet_sample,
+    ln_like_dirichlet,
+    ln_like_sum,
+    ln_prior_uniform,
+)
+
+BOUNDS = np.array([[0.0, 0.0026], [0.1955, 0.1995], [0.80, 0.825]])
+
+
+def test_dream_gaussian_1d():
+    mu, std = 2.0, 3.0
+
+    def lnp(x):
+        return -0.5 * ((x[0] - mu) / std) ** 2
+
+    heads0 = jnp.zeros((10, 1)) + jnp.linspace(-1, 1, 10)[:, None]
+    sampler = DreamSampler(lnp, heads0, n_adapt=500, key=0)
+    sampler.sample_mcmc(4000)
+    tail = np.asarray(sampler.get_samples(1500))
+    assert abs(tail.mean() - mu) < 5e-1
+    assert abs(tail.std(ddof=1) - std) < 5e-1
+    assert sampler.accept_ratio() > 0.15
+
+
+def test_dream_gaussian_highdim():
+    # Correlated 5-D Gaussian: DREAM's subspace sampling shines here.
+    d = 5
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((d, d))
+    cov = a @ a.T + d * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def lnp(x):
+        return -0.5 * x @ prec @ x
+
+    heads0 = jnp.asarray(rng.standard_normal((20, d)))
+    hist, state = dream_run(heads0, lnp, 6000, key=1, n_adapt=1000)
+    tail = np.asarray(hist[2500:]).reshape(-1, d)
+    emp_cov = np.cov(tail, rowvar=False)
+    # covariance recovered within 15% (MCMC noise)
+    assert np.abs(emp_cov - cov).max() / np.abs(cov).max() < 0.15
+
+
+def test_dream_adapts_crossover():
+    def lnp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    heads0 = jnp.asarray(np.random.default_rng(1).standard_normal((12, 3)))
+    _hist, state = dream_run(heads0, lnp, 800, key=2, n_adapt=800)
+    p_cr = np.asarray(state.p_cr)
+    assert abs(p_cr.sum() - 1.0) < 1e-6
+    assert (p_cr > 0.0).all()
+    # adaptation actually moved the probabilities off uniform
+    assert np.abs(p_cr - 1.0 / 3.0).max() > 1e-3
+
+
+def test_dream_dirichlet_simplex():
+    seeds = constr_dirichlet_sample(BOUNDS, 8, 500, 20000, 1.0, key=3)
+    lnp = ln_like_sum(
+        ln_like_dirichlet(jnp.ones(3)), ln_prior_uniform(BOUNDS)
+    )
+
+    def fixup(x):
+        return x / jnp.sum(x)
+
+    sampler = DreamSampler(
+        lnp, seeds, delta_max=3, n_adapt=300, prop_fixup_fn=fixup, key=4
+    )
+    sampler.sample_mcmc(1500)
+    tail = np.asarray(sampler.get_samples(200))
+    np.testing.assert_allclose(tail.sum(axis=1), 1.0, atol=1e-6)
+    assert (tail > BOUNDS[:, 0][None, :] - 1e-12).all()
+    assert (tail < BOUNDS[:, 1][None, :] + 1e-12).all()
+
+
+def test_dream_requires_enough_chains():
+    def lnp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    import pytest
+
+    with pytest.raises(AssertionError):
+        dream_run(jnp.zeros((4, 2)), lnp, 10, delta_max=3)
