@@ -49,7 +49,8 @@ def main():
 
     def run():
         u, s, vt = random_svd(
-            a, RANK, N_ITER, N_OVERSAMPLES, key=k_rsvd, stabilize="always"
+            a, RANK, N_ITER, N_OVERSAMPLES, key=k_rsvd, stabilize="always",
+            qr_method="cholesky",
         )
         return u, s, vt
 
