@@ -15,6 +15,12 @@ benchmark harness treats the numpy path as the comparable baseline.
 """
 from __future__ import annotations
 
+try:
+    from corrla_rs_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+except Exception:
+    pass
+
 import json
 import time
 

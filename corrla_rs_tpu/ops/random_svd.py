@@ -79,21 +79,32 @@ def power_iter(
     omega_rank: int,
     n_iter: int,
     key=0,
-    stabilize: str = "reference",
+    stabilize: str = "auto",
     precision=PRECISION,
     qr_method: str = "householder",
 ) -> jnp.ndarray:
     """Randomized range finder: orthonormal Q approximating range(A).
 
     Parity with reference random_svd.rs:15-59. ``stabilize``:
+      - 'auto' (default): 'always' for f32 inputs, 'reference' for f64.
+        In f32 the reference's skip-first-3 heuristic is *numerically
+        wrong* for decaying spectra: three unorthogonalized power steps
+        amplify (s1/sk)^6, which overflows the f32 mantissa range and
+        permanently collapses the subordinate sketch directions (observed:
+        POD modes of a 20-snapshot pulse family reconstructed with rel err
+        ~1.0 on TPU f32 under 'reference', ~truncation-limited under
+        'always').
       - 'reference': thin-QR only when iteration index > 2 (the reference
         heuristic, random_svd.rs:37-39), L2 rescale every iteration.
-      - 'always': thin-QR every iteration (stronger in f32).
-    ``qr_method``: 'householder' (LAPACK-style) or 'cholesky' (CholeskyQR2,
-    the TPU fast path — see _cholesky_qr2).
+      - 'always': thin-QR every iteration.
+    ``qr_method``: 'householder' (LAPACK-style, safest) or 'cholesky'
+    (CholeskyQR2, the TPU fast path — see _cholesky_qr2; use with
+    stabilize='always' so panels stay well-conditioned between QRs).
     """
     key = as_key(key)
     n, m = a.shape
+    if stabilize == "auto":
+        stabilize = "always" if a.dtype == jnp.float32 else "reference"
     omega = jax.random.normal(key, (m, omega_rank), dtype=a.dtype)
     y = jnp.matmul(a, omega, precision=precision)
     qr = lambda q: _thin_qr(q, qr_method)
@@ -124,7 +135,7 @@ def random_svd(
     n_iter: int,
     n_oversamples: int,
     key=0,
-    stabilize: str = "reference",
+    stabilize: str = "auto",
     qr_method: str = "householder",
 ):
     """Randomized SVD: A ~= U @ diag(s) @ Vt with U (m, r), s (r,), Vt (r, n).

@@ -178,14 +178,14 @@ class ExponentialRv(_UniRv):
 
 
 class KdeRv(_UniRv):
-    """Gaussian-kernel KDE. univariate_rv.rs:385-460."""
+    """Gaussian-kernel KDE (the kernel is a fixed standard normal, as in
+    the reference — univariate_rv.rs:385-460)."""
 
     def __init__(self, bandwidth: float, samples):
         self.bandwidth = float(bandwidth)
         self.supports = jnp.asarray(samples)
         n = self.supports.shape[0]
         self.weights = jnp.ones((n,), self.supports.dtype) / n
-        self.kernel = NormalRv(0.0, 1.0)
 
     def _bw(self, params):
         return self.bandwidth if params is None else params[0]

@@ -1,0 +1,116 @@
+"""Checkpoint / resume for fitted model objects.
+
+The reference keeps all fitted state in in-memory structs with no
+persistence (SURVEY.md §5 "Checkpoint/resume: none"). Here every fitted
+object is a flat bag of arrays + scalars, so (de)serialization is a single
+``.npz``:
+
+    save_model("pca.npz", pca)
+    pca2 = load_model("pca.npz")
+
+MCMC samplers are resumable by construction — a DeMcSampler/DreamSampler is
+a pure function of (chain heads, key); persist ``sampler.chain_history`` and
+re-seed chains from its tail.
+"""
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["save_model", "load_model", "register_model_class"]
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_model_class(cls):
+    """Register a class for checkpointing (used as a decorator or call)."""
+    _REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def _builtin_registry():
+    # lazy import to avoid cycles
+    from corrla_rs_tpu.models.active_subspaces import FittedActiveSsRsvd
+    from corrla_rs_tpu.models.dmd import DMDc
+    from corrla_rs_tpu.models.pca import PcaRsvd
+    from corrla_rs_tpu.models.pod import PodI
+    from corrla_rs_tpu.ops.interp import RbfInterp
+    from corrla_rs_tpu.ops.univariate_rv import (
+        BetaRv,
+        ExponentialRv,
+        KdeRv,
+        NormalRv,
+    )
+
+    for cls in (PcaRsvd, PodI, DMDc, RbfInterp, FittedActiveSsRsvd,
+                NormalRv, BetaRv, ExponentialRv, KdeRv):
+        _REGISTRY.setdefault(cls.__name__, cls)
+
+
+def save_model(path: str, model) -> None:
+    """Serialize a fitted model's attributes to an .npz file."""
+    arrays = {}
+    scalars = {}
+    for name, val in vars(model).items():
+        if isinstance(val, (jnp.ndarray, np.ndarray)):
+            arrays[f"arr_{name}"] = np.asarray(val)
+        elif isinstance(val, (int, float, bool, str)) or val is None:
+            scalars[name] = val
+        elif isinstance(val, dict) and all(
+            isinstance(v, (int, float, bool, str)) for v in val.values()
+        ):
+            scalars[name] = {"__dict__": val}
+        elif isinstance(val, list) and all(
+            isinstance(v, (jnp.ndarray, np.ndarray)) for v in val
+        ):
+            for i, v in enumerate(val):
+                arrays[f"lst_{name}_{i}"] = np.asarray(v)
+            scalars[f"__len_{name}"] = len(val)
+        else:
+            # non-array state (e.g. ln_prob closures) is not serializable
+            raise TypeError(
+                f"cannot checkpoint attribute {name!r} of type {type(val)}"
+            )
+    np.savez(
+        path,
+        __class__=np.asarray(type(model).__name__),
+        __scalars__=np.asarray(json.dumps(scalars)),
+        **arrays,
+    )
+
+
+def load_model(path: str):
+    """Reconstruct a model saved by ``save_model`` (no __init__ re-run)."""
+    _builtin_registry()
+    data = np.load(path, allow_pickle=False)
+    cls_name = str(data["__class__"])
+    cls = _REGISTRY.get(cls_name)
+    if cls is None:
+        raise KeyError(f"unknown model class {cls_name!r}; register it first")
+    model = cls.__new__(cls)
+    scalars = json.loads(str(data["__scalars__"]))
+    lists: dict[str, int] = {}
+    for name, val in scalars.items():
+        if name.startswith("__len_"):
+            lists[name[len("__len_"):]] = int(val)
+        elif isinstance(val, dict) and "__dict__" in val:
+            setattr(model, name, val["__dict__"])
+        else:
+            setattr(model, name, val)
+    for key in data.files:
+        if key.startswith("arr_"):
+            val = data[key]
+            # complex arrays stay host-side (TPU devices reject complex
+            # dtypes; DMDc.lambdas is deliberately a host numpy array)
+            setattr(
+                model, key[4:],
+                val if np.iscomplexobj(val) else jnp.asarray(val),
+            )
+    for name, ln in lists.items():
+        setattr(
+            model, name,
+            [jnp.asarray(data[f"lst_{name}_{i}"]) for i in range(ln)],
+        )
+    return model

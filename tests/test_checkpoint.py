@@ -1,0 +1,87 @@
+"""Checkpoint round-trip tests (rebuild-only capability; SURVEY.md §5)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu import DMDc, PcaRsvd, PodI, RbfInterp
+from corrla_rs_tpu.ops.univariate_rv import KdeRv, NormalRv
+from corrla_rs_tpu.utils.checkpoint import load_model, save_model
+from corrla_rs_tpu.utils.testing import assert_mat_approx_eq
+
+
+def test_pca_round_trip(rng, tmp_path):
+    x = jnp.asarray(rng.standard_normal((200, 6)))
+    pca = PcaRsvd(x, 3)
+    path = str(tmp_path / "pca.npz")
+    save_model(path, pca)
+    pca2 = load_model(path)
+    assert_mat_approx_eq(pca2.components, pca.components)
+    assert_mat_approx_eq(pca2.apply_tr(x), pca.apply_tr(x))
+    assert pca2.n_samples == 200
+
+
+def test_pod_round_trip(rng, tmp_path):
+    p = jnp.asarray(rng.standard_normal((10, 50)))
+    t = jnp.linspace(0, 1, 10)[:, None]
+    pod = PodI(p, t, 3)
+    path = str(tmp_path / "pod.npz")
+    save_model(path, pod)
+    pod2 = load_model(path)
+    tq = jnp.array([[0.35]])
+    assert_mat_approx_eq(pod2.predict(tq), pod.predict(tq))
+
+
+def test_dmdc_round_trip(rng, tmp_path):
+    x = np.linspace(0, 10, 20)
+    t = np.linspace(0, 10, 30)
+    u = np.exp(0.2 * t)[None, :]
+    snaps = jnp.asarray(np.sin(x[:, None] + 0.2 * t[None, :]) * u)
+    model = DMDc(snaps, jnp.asarray(u), 8, 20)
+    path = str(tmp_path / "dmd.npz")
+    save_model(path, model)
+    model2 = load_model(path)
+    x0 = snaps[:, 0:1]
+    assert_mat_approx_eq(
+        model2.predict_multiple(x0, jnp.asarray(u)),
+        model.predict_multiple(x0, jnp.asarray(u)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(model2.lambdas), np.asarray(model.lambdas)
+    )
+
+
+def test_rbf_round_trip(rng, tmp_path):
+    x = jnp.asarray(rng.standard_normal((30, 2)))
+    y = jnp.sin(x[:, :1])
+    rbf = RbfInterp(2, 1.0, 2, 1).fit(x, y)
+    path = str(tmp_path / "rbf.npz")
+    save_model(path, rbf)
+    rbf2 = load_model(path)
+    assert rbf2.kernel == "multiquadric"
+    assert_mat_approx_eq(rbf2.predict(x), rbf.predict(x))
+
+
+def test_rv_round_trip(rng, tmp_path):
+    kde = KdeRv(0.7, jnp.asarray(rng.standard_normal(50)))
+    path = str(tmp_path / "kde.npz")
+    save_model(path, kde)
+    kde2 = load_model(path)
+    xs = jnp.linspace(-2, 2, 7)
+    assert_mat_approx_eq(kde2.pdf(xs), kde.pdf(xs))
+
+    nrm = NormalRv(1.5, 2.5)
+    save_model(str(tmp_path / "n.npz"), nrm)
+    nrm2 = load_model(str(tmp_path / "n.npz"))
+    assert nrm2.mu == 1.5 and nrm2.std == 2.5
+
+
+def test_unserializable_raises(tmp_path):
+    class Weird:
+        pass
+
+    w = Weird()
+    w.f = lambda x: x
+    from corrla_rs_tpu.utils.checkpoint import save_model
+
+    with pytest.raises(TypeError):
+        save_model(str(tmp_path / "w.npz"), w)
