@@ -112,14 +112,34 @@ def _rejection_fill(key, bounds, alphas, n_samples, max_zshots, chunk_size,
 
 def constr_dirichlet_sample(bounds, n_samples: int, max_zshots: int = 500,
                             chunk_size: int = 20000, c_scale: float = 1.0,
-                            alphas=None, key=0):
+                            alphas=None, key=0, backend: str = "device"):
     """Rejection-sample the bounded simplex sum(x) = c_scale.
 
     Parity with space_samplers.rs:64-126. Raises if ``max_zshots`` chunks
     were insufficient (the reference silently returns zero-rows; SURVEY.md
     §2.4 — we fail loudly instead).
+
+    backend='host' routes to the multithreaded C++ streaming sampler
+    (corrla_rs_tpu.native) — the right tool at pathological acceptance
+    rates where the fixed-chunk device loop wastes bandwidth on rejected
+    rows.
     """
     import numpy as _np
+
+    if backend == "host":
+        from corrla_rs_tpu import native as _native
+
+        if isinstance(key, int):
+            seed_int = key  # avoid a device op (key_data compiles remotely)
+        else:
+            seed_int = int(_np.asarray(jax.random.key_data(as_key(key)))[-1])
+        return jnp.asarray(_native.cs_dirichlet_rejection_host(
+            _np.asarray(bounds, _np.float64), int(n_samples),
+            int(max_zshots), int(chunk_size), float(c_scale),
+            _np.ones(_np.asarray(bounds).shape[0])
+            if alphas is None else _np.asarray(alphas, _np.float64),
+            seed=seed_int,
+        ))
 
     bounds = jnp.asarray(bounds, dtype=jnp.result_type(float))
     alphas = _broadcast_alphas(alphas, bounds.shape[0])
