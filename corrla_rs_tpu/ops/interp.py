@@ -30,13 +30,16 @@ _KERNEL_NAMES = {1: "linear", 2: "multiquadric", 3: "cubic"}
 def pairwise_dists(xa: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
     """Euclidean distance matrix (n_a, n_b).
 
-    Computed via the Gram expansion |a|^2 + |b|^2 - 2 a.b (one MXU matmul)
-    with clamping for numerical safety.
+    Computed as the directly broadcasted difference norm (VPU elementwise,
+    XLA-fused — no (n_a, n_b, d) materialization). The Gram-expansion
+    matmul form is avoided: on TPU, XLA silently downgrades even
+    precision=HIGHEST for tiny contraction dims (measured 3e-3 relative
+    distance error at d=8 on v5e), and the feature dims in this library
+    are small. For large-N streaming, use
+    ops.pallas_kernels.pairwise_kernel_matrix (bf16x3 Gram on the MXU).
     """
-    a2 = jnp.sum(xa * xa, axis=1, keepdims=True)
-    b2 = jnp.sum(xb * xb, axis=1, keepdims=True)
-    ab = jnp.matmul(xa, xb.T, precision=PRECISION)
-    d2 = jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+    diff = xa[:, None, :] - xb[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
     return jnp.sqrt(d2)
 
 
@@ -86,7 +89,7 @@ def rbf_fit(x: jnp.ndarray, y: jnp.ndarray, kernel: str, eps: float,
     kp = jnp.concatenate([upper, lower], axis=0)
     y_pad = jnp.concatenate([y, jnp.zeros((p, y.shape[1]), y.dtype)], axis=0)
     if method == "pinv":
-        return pinv(kp) @ y_pad
+        return jnp.matmul(pinv(kp), y_pad, precision=PRECISION)
     return jnp.linalg.solve(kp, y_pad)
 
 
@@ -96,7 +99,9 @@ def rbf_predict(x_known: jnp.ndarray, coeffs: jnp.ndarray, x_query: jnp.ndarray,
     """Evaluate the fitted interpolant at query points. interp_utils.rs:146-153."""
     k_q = rbf_kernel_eval(pairwise_dists(x_query, x_known), kernel, eps)
     p_q = build_full_vandermonde(x_query, poly_degree)
-    return jnp.concatenate([k_q, p_q], axis=1) @ coeffs
+    return jnp.matmul(
+        jnp.concatenate([k_q, p_q], axis=1), coeffs, precision=PRECISION
+    )
 
 
 class RbfInterp:

@@ -36,7 +36,7 @@ def pinv(a: jnp.ndarray, eps: float = 1.0e-14) -> jnp.ndarray:
     """
     u, s, vt = jnp.linalg.svd(a, full_matrices=False)
     s_inv = 1.0 / (s + jnp.asarray(eps, a.dtype))
-    return (vt.T * s_inv[None, :]) @ u.T
+    return jnp.matmul(vt.T * s_inv[None, :], u.T, precision=PRECISION)
 
 
 def pinv_diag(d_mat: jnp.ndarray, eps: float = 1.0e-20) -> jnp.ndarray:

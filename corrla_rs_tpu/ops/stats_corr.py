@@ -77,7 +77,8 @@ def sample_mv_normal(cov, n: int, key=0, mode: str = "cholesky") -> jnp.ndarray:
 
 def sandwich_prop(cov: jnp.ndarray, jac: jnp.ndarray) -> jnp.ndarray:
     """Sandwich covariance propagation J C J^T. stats_corr.rs:64-68."""
-    return jac @ cov @ jac.T
+    return jnp.matmul(jnp.matmul(jac, cov, precision=PRECISION), jac.T,
+                      precision=PRECISION)
 
 
 def rsquared_sens(x: jnp.ndarray, y: jnp.ndarray, cor_dof: bool = False) -> jnp.ndarray:
@@ -91,7 +92,10 @@ def rsquared_sens(x: jnp.ndarray, y: jnp.ndarray, cor_dof: bool = False) -> jnp.
     r_xy = pearson_corr(xy)
     r_xx = r_xy[:-1, :-1]
     r_y = r_xy[:-1, -1:]
-    r_sqr = r_y.T @ pinv(r_xx) @ r_y
+    r_sqr = jnp.matmul(
+        jnp.matmul(r_y.T, pinv(r_xx), precision=PRECISION), r_y,
+        precision=PRECISION,
+    )
     if cor_dof:
         dof_factor = (n - 1.0) / (n - k - 1.0)
         r_sqr = 1.0 - (1.0 - r_sqr) * dof_factor
@@ -127,7 +131,7 @@ def linear_fit(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     Returns (k+1, y_cols): slopes then intercept.
     """
     vand = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
-    return pinv(vand) @ y
+    return jnp.matmul(pinv(vand), y, precision=PRECISION)
 
 
 def jac_from_lin(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -168,12 +172,12 @@ def build_full_vandermonde(x: jnp.ndarray, degree: int) -> jnp.ndarray:
 def quad_fit(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Fit a full quadratic in k dims. stats_corr.rs:213-219."""
     vand = build_vandermonde(x, True)
-    return pinv(vand) @ y
+    return jnp.matmul(pinv(vand), y, precision=PRECISION)
 
 
 def quad_eval(x: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate the fitted quadratic. stats_corr.rs:222-226."""
-    return build_vandermonde(x, True) @ coeffs
+    return jnp.matmul(build_vandermonde(x, True), coeffs, precision=PRECISION)
 
 
 def jac_from_quad(x0: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
