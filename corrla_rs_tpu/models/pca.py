@@ -39,13 +39,20 @@ def _pca_fit_kernel(x, rank, n_iter, key, stabilize):
 
 
 class PcaRsvd:
-    """PCA of a (n_samples, n_dim) data matrix using randomized SVD."""
+    """PCA of a (n_samples, n_dim) data matrix using randomized SVD.
+
+    Pass ``mesh=`` (a 1-D jax.sharding.Mesh) to fit on a row-sharded
+    multi-chip layout: the centering is elementwise (sharding-preserving)
+    and the RSVD runs the psum-Gram/CholeskyQR2 kernel from
+    parallel.sharded_rsvd.
+    """
 
     def __init__(self, x_mat, rank: int, key=0, n_iter: int = PCA_N_ITER,
-                 stabilize: str = "reference"):
+                 stabilize: str = "auto", mesh=None):
         self.pca_rank = int(rank)
         self._n_iter = int(n_iter)
         self._stabilize = stabilize
+        self._mesh = mesh
         self.fit(x_mat, rank, key=key)
 
     def fit(self, x_mat, rank: int, key=0):
@@ -53,6 +60,19 @@ class PcaRsvd:
         x = jnp.asarray(x_mat)
         self.pca_rank = int(rank)
         self.n_samples = x.shape[0]
+        if self._mesh is not None:
+            from corrla_rs_tpu.parallel.mesh import shard_rows
+            from corrla_rs_tpu.parallel.sharded_rsvd import sharded_random_svd
+
+            x = shard_rows(x, self._mesh)
+            means = col_means(x)
+            n_oversamples = min(x.shape[1], PCA_MAX_OVERSAMPLES)
+            _u, s, vt = sharded_random_svd(
+                x - means, self.pca_rank, self._n_iter, n_oversamples,
+                key=as_key(key), mesh=self._mesh,
+            )
+            self.means, self.pca_s, self.components_ = means, s, vt
+            return self
         self.means, self.pca_s, self.components_ = _pca_fit_kernel(
             x, self.pca_rank, self._n_iter, as_key(key), self._stabilize
         )

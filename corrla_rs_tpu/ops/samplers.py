@@ -366,6 +366,12 @@ class DeMcSampler:
     def get_samples(self, n_tail: int) -> jnp.ndarray:
         """Last n_tail generations, chains interleaved round-robin
         (generation-major, chain-minor), parity with
-        space_samplers.rs:309-323."""
+        space_samplers.rs:309-323.
+
+        Note: n_tail=0 returns an empty array — matching the reference's
+        *actual* behavior (its docstring claims "all samples" but the
+        output buffer is sized n_tail*n_chains, space_samplers.rs:314)."""
+        if n_tail == 0:
+            return jnp.zeros((0, self.ndim), self.chain_history.dtype)
         tail = self.chain_history[-n_tail:]  # (n_tail, n_chains, d)
         return tail.reshape(n_tail * self.n_chains, self.ndim)

@@ -26,11 +26,19 @@ CHAINS_AXIS = "chains"
 __all__ = [
     "ROWS_AXIS",
     "CHAINS_AXIS",
+    "init_distributed",
     "make_mesh",
     "row_sharding",
     "replicated_sharding",
     "shard_rows",
 ]
+
+
+def init_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (DCN) — thin passthrough to
+    ``jax.distributed.initialize``. Call once per host before building
+    meshes; single-host/single-process setups don't need it."""
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = ROWS_AXIS) -> Mesh:
