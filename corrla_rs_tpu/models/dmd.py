@@ -91,17 +91,6 @@ def _dmdc_modes_kernel(tmp_modes_scale, w_re, w_im):
     return mm(tmp_modes_scale, w_re), mm(tmp_modes_scale, w_im)
 
 
-def _est_a_til_host(lambdas, modes_re, modes_im):
-    """A = Re(Phi diag(lambda) Phi^+), parity with dmd_rom.rs:165-175.
-
-    Complex arithmetic on host (r is small); the resulting real (n_x, n_x)
-    operator is shipped to device for the rollout.
-    """
-    phi = np.asarray(modes_re) + 1j * np.asarray(modes_im)
-    a_comp = (phi * np.asarray(lambdas)[None, :]) @ _pinv_complex_np(phi)
-    return np.real(a_comp)
-
-
 @jax.jit
 def _rollout(a_op, b_op, x0, u_seq):
     """x <- A x + B u over the columns of u_seq via lax.scan."""
@@ -114,6 +103,23 @@ def _rollout(a_op, b_op, x0, u_seq):
 
     _, xs = lax.scan(step, x0, u_seq.T)
     return xs.T  # (n_x, n_times)
+
+
+@jax.jit
+def _rollout_factored(phi_re, phi_im, w_re, w_im, b_op, x0, u_seq):
+    """Rollout with A applied in factored form:
+    A x = Phi_r (W_r x) - Phi_i (W_i x) — O(n_x * r) per step instead of
+    the dense O(n_x^2); avoids ever materializing the (n_x, n_x) operator.
+    """
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+
+    def step(x, u_col):
+        ax = mm(phi_re, mm(w_re, x)) - mm(phi_im, mm(w_im, x))
+        x_next = ax + mm(b_op, u_col[:, None])
+        return x_next, x_next[:, 0]
+
+    _, xs = lax.scan(step, x0, u_seq.T)
+    return xs.T
 
 
 class DMDc:
@@ -148,15 +154,29 @@ class DMDc:
             jnp.asarray(np.real(w), x.dtype),
             jnp.asarray(np.imag(w), x.dtype),
         )
-        # Reconstruct the full A operator once (the reference redoes this on
-        # every predict call, dmd_rom.rs:191,204).
-        self._a_full = jnp.asarray(
-            _est_a_til_host(self.lambdas, self.modes_re, self.modes_im),
-            x.dtype,
-        )
+        # The dense (n_x, n_x) A operator is built lazily (first dense
+        # predict / est_a_til call): at large n_x it costs O(n_x^2) host
+        # memory + compute that the factored rollout never needs.
+        self._a_full = None
+        # Factored dynamics for the O(n_x * r) rollout (method='modes'):
+        # A = Re(Phi Lambda Phi^+) = Phi_r W_r - Phi_i W_i with
+        # W = diag(lambda) Phi^+ (host complex, tiny)
+        phi = np.asarray(self.modes_re) + 1j * np.asarray(self.modes_im)
+        w = lam[:, None] * _pinv_complex_np(phi)
+        self._w_re = jnp.asarray(np.real(w), x.dtype)
+        self._w_im = jnp.asarray(np.imag(w), x.dtype)
 
     def est_a_til(self) -> jnp.ndarray:
-        """Full-state A estimated from the eigendecomposition. dmd_rom.rs:165-175."""
+        """Full-state A estimated from the eigendecomposition
+        (dmd_rom.rs:165-175). Built once, lazily — reconstruct with the
+        factored form A = Re(Phi Lambda Phi^+) computed as
+        (Phi_r W_r - Phi_i W_i) on device, O(n_x^2 r) on the MXU instead
+        of host complex algebra."""
+        if self._a_full is None:
+            mm = functools.partial(jnp.matmul, precision=PRECISION)
+            self._a_full = (
+                mm(self.modes_re, self._w_re) - mm(self.modes_im, self._w_im)
+            ).astype(self.modes_re.dtype)
         return self._a_full
 
     def est_b_til(self) -> jnp.ndarray:
@@ -170,18 +190,27 @@ class DMDc:
         assert x0.shape == (self.n_x, 1)
         assert u.shape == (self.n_u, 1)
         return (
-            jnp.matmul(self._a_full, x0, precision=PRECISION)
+            jnp.matmul(self.est_a_til(), x0, precision=PRECISION)
             + jnp.matmul(self._B, u, precision=PRECISION)
         )
 
-    def predict_multiple(self, x_0, u_seq) -> jnp.ndarray:
+    def predict_multiple(self, x_0, u_seq, method: str = "dense") -> jnp.ndarray:
         """Roll the dynamics over the columns of u_seq. dmd_rom.rs:199-225.
 
         Returns (n_x, n_times); column j is the state after stepping with
         u_seq[:, j] (matching the reference's output layout).
+
+        method='modes' applies A in factored form (O(n_x * r) per step,
+        never materializing the dense (n_x, n_x) operator) — use for large
+        state dimensions; numerically identical up to fp rounding.
         """
         x0 = jnp.asarray(x_0)
         u = jnp.asarray(u_seq)
         assert x0.shape == (self.n_x, 1)
         assert u.shape[0] == self.n_u
-        return _rollout(self._a_full, self._B, x0, u)
+        if method == "modes":
+            return _rollout_factored(
+                self.modes_re, self.modes_im, self._w_re, self._w_im,
+                self._B, x0, u,
+            )
+        return _rollout(self.est_a_til(), self._B, x0, u)

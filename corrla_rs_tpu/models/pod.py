@@ -48,9 +48,17 @@ def _pod_fit_kernel(x, t, n_modes, key):
 
 class PodI:
     """POD + interpolation ROM. Constructor mirrors PyPodI
-    (lib_math_utils_py.rs:231-240): ``PodI(x_data, t, n_modes)``."""
+    (lib_math_utils_py.rs:231-240): ``PodI(x_data, t, n_modes)``.
 
-    def __init__(self, x_data, t, n_modes: int, key=0):
+    Pass ``mesh=`` to fit with the spatial (n_points) axis sharded across
+    chips: modes come from the sharded RSVD of the transposed snapshot
+    matrix (points are the tall axis), and the weight solve exploits mode
+    orthonormality (pinv(modes) == modes^T for orthonormal columns) so it
+    is one psum-reduced matmul.
+    """
+
+    def __init__(self, x_data, t, n_modes: int, key=0, mesh=None):
+        self._mesh = mesh
         self.fit(x_data, t, n_modes, key=key)
 
     def fit(self, x_data, t, n_modes: int, key=0):
@@ -61,6 +69,21 @@ class PodI:
         self.n_snapshots = x.shape[0]
         self.n_modes = int(n_modes)
         self.t_abscissa = t
+        if self._mesh is not None:
+            from corrla_rs_tpu.parallel.sharded_rsvd import sharded_random_svd
+
+            # modes = left singular vectors of x^T (n_points tall, sharded)
+            modes, _s, _vt = sharded_random_svd(
+                x.T, self.n_modes, POD_N_ITER, POD_N_OVERSAMPLES,
+                key=as_key(key), mesh=self._mesh,
+            )
+            self.modes = modes  # (n_points, n_modes) row-sharded
+            # orthonormal modes: optimal weights = x @ modes (GSPMD inserts
+            # the psum over the sharded points axis)
+            weights = jnp.matmul(x, modes, precision=PRECISION)
+            self.mode_weights = weights
+            self._rbf_coeffs = rbf_fit(t, weights, "linear", 1.0, 1)
+            return self
         self.modes, self.mode_weights, self._rbf_coeffs = _pod_fit_kernel(
             x, t, self.n_modes, as_key(key)
         )

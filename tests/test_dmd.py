@@ -70,3 +70,12 @@ def test_eig_under_jit(rng):
     np.testing.assert_allclose(
         np.sort_complex(np.asarray(vals)), np.sort_complex(vals_np), rtol=1e-9
     )
+
+
+def test_factored_rollout_matches_dense():
+    p, u = _sine_fixture(50, 40)
+    model = DMDc(p, u, n_modes=14, n_iters=40)
+    x0 = p[:, 0:1]
+    dense = model.predict_multiple(x0, u)
+    fact = model.predict_multiple(x0, u, method="modes")
+    assert_mat_approx_eq(fact, dense, 1e-6)

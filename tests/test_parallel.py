@@ -95,3 +95,41 @@ def test_sharded_demc_gaussian():
     assert abs(tail.mean() - mu) < 5e-1
     assert abs(tail.std(ddof=1) - std) < 5e-1
     assert ar > 0.2
+
+
+def test_sharded_pca_matches_single(rng):
+    _require_8()
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu import PcaRsvd
+
+    mesh = make_mesh(8)
+    x = jnp.asarray(rng.standard_normal((800, 16)))
+    p1 = PcaRsvd(x, 4)
+    p2 = PcaRsvd(x, 4, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(p2.singular_values), np.asarray(p1.singular_values),
+        rtol=1e-6,
+    )
+
+
+def test_sharded_pod_matches_single(rng):
+    _require_8()
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu import PodI
+
+    mesh = make_mesh(8)
+    nx, ns = 400, 12
+    xg = np.linspace(0, 10, nx)
+    tg = np.linspace(1, 9, ns)[:, None]
+    p = jnp.asarray((0.5 * tg) * np.exp(-((xg[None, :] - tg) ** 2) / 4.0))
+    t = jnp.asarray(tg)
+    pod1 = PodI(p, t, 4)
+    pod2 = PodI(p, t, 4, mesh=mesh)
+    tq = jnp.array([[5.0]])
+    # modes have sign freedom; compare predictions
+    np.testing.assert_allclose(
+        np.asarray(pod2.predict(tq)), np.asarray(pod1.predict(tq)),
+        rtol=1e-5, atol=1e-8,
+    )
