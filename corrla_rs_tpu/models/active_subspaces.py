@@ -37,16 +37,20 @@ ASS_N_ITER = 8
 ASS_N_OVERSAMPLES = 10
 
 
-@functools.partial(jax.jit, static_argnames=("est_order", "n_nbrs"))
+@functools.partial(
+    jax.jit, static_argnames=("est_order", "n_nbrs", "query_chunk")
+)
 def batched_grad_est(x_support, y_support, x_query, est_order: int,
-                     n_nbrs: int) -> jnp.ndarray:
+                     n_nbrs: int, query_chunk: int | None = None) -> jnp.ndarray:
     """Gradient estimates [dy/dx_1 .. dy/dx_k] at each query row.
 
     One kNN + one vmapped local polynomial fit — the batched equivalent of
     the reference's per-point ``grad_at`` (active_subspaces.rs:52-62,
-    115-140). Returns (n_query, k).
+    115-140). Returns (n_query, k). ``query_chunk`` bounds the kNN
+    distance-matrix memory at (query_chunk, n_support) for large point
+    clouds (SURVEY.md §7 hard part 5).
     """
-    _d, idx = knn(x_query, x_support, n_nbrs)
+    _d, idx = knn(x_query, x_support, n_nbrs, query_chunk=query_chunk)
     x_nbr = x_support[idx]            # (n_q, n_nbrs, k)
     y_nbr = y_support[idx]            # (n_q, n_nbrs, 1)
 
@@ -71,7 +75,9 @@ class PolyGradientEstimator:
     2 = local quadratic.
     """
 
-    def __init__(self, x_mat, y, est_order: int, n_nbrs: int):
+    def __init__(self, x_mat, y, est_order: int, n_nbrs: int,
+                 query_chunk: int | None = None):
+        self.query_chunk = query_chunk
         self.x_mat = jnp.asarray(x_mat)
         self.y = jnp.asarray(y)
         if self.y.ndim == 1:
@@ -97,7 +103,7 @@ class PolyGradientEstimator:
         """Gradients at many points at once: (n_query, k)."""
         return batched_grad_est(
             self.x_mat, self.y, jnp.asarray(x_query), self.est_order,
-            self.n_nbrs,
+            self.n_nbrs, self.query_chunk,
         )
 
 

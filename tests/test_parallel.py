@@ -133,3 +133,46 @@ def test_sharded_pod_matches_single(rng):
         np.asarray(pod2.predict(tq)), np.asarray(pod1.predict(tq)),
         rtol=1e-5, atol=1e-8,
     )
+
+
+def test_sharded_dream_gaussian():
+    _require_8()
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.parallel.sharded_samplers import dream_run_sharded
+
+    mesh = make_mesh(8, axis_name=CHAINS_AXIS)
+    mu, std = 2.0, 3.0
+
+    def lnp(x):
+        return -0.5 * ((x[0] - mu) / std) ** 2
+
+    heads0 = jnp.linspace(-1, 1, 16)[:, None]  # 16 chains, 2 per device
+    hist, final_heads, ar = dream_run_sharded(
+        heads0, lnp, 4000, key=0, n_adapt=500, mesh=mesh
+    )
+    assert hist.shape == (4000, 16, 1)
+    tail = np.asarray(hist[-1500:]).reshape(-1)
+    assert abs(tail.mean() - mu) < 5e-1
+    assert abs(tail.std(ddof=1) - std) < 5e-1
+    assert ar > 0.15
+
+
+def test_sharded_stats_autopartition(rng):
+    # Data-parallel stats come free from GSPMD: pearson on a row-sharded
+    # matrix equals the unsharded result.
+    _require_8()
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.stats_corr import mat_cov_centered, pearson_corr
+
+    mesh = make_mesh(8)
+    x = jnp.asarray(rng.standard_normal((4000, 6)))
+    x_sh = shard_rows(x, mesh)
+    p1 = pearson_corr(x)
+    p2 = jax.jit(pearson_corr)(x_sh)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-10)
+    c1 = mat_cov_centered(x)
+    c2 = jax.jit(mat_cov_centered)(x_sh)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-10)
