@@ -56,7 +56,7 @@ def main():
     def run():
         u, s, vt = random_svd(
             a, RANK, N_ITER, N_OVERSAMPLES, key=k_rsvd, stabilize="always",
-            qr_method="cholesky",
+            qr_method="cholesky", power_precision=jax.lax.Precision.HIGH,
         )
         return u, s, vt
 
