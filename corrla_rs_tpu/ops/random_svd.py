@@ -46,26 +46,51 @@ def _householder_qr(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cholesky_qr2(y: jnp.ndarray) -> jnp.ndarray:
-    """CholeskyQR2 thin orthonormalization.
+    """Preconditioned CholeskyQR with ridge fallback (3 rounds).
 
-    Two rounds of G = Y^T Y; R = chol(G); Y <- Y R^-1 (with a trace-scaled
-    ridge on the first round for f32 safety). On TPU this is ~30x faster
-    than Householder QR for tall-skinny panels (the Gram product is one MXU
-    matmul; Householder is a long sequential kernel): measured 1ms vs 35ms
-    for a 100k x 110 f32 panel on v5e.
+    Per round: column-normalize (exact diagonal preconditioning — power
+    iteration leaves subordinate columns whose squared norms underflow),
+    form the k x k Gram, Cholesky with a *small* ridge, and — only if that
+    produced non-finite values (deficient panels: sketch rank > numerical
+    rank happens routinely for POD snapshot families / exactly-low-rank
+    DMD data, where the Gram is indefinite at working precision) — retry
+    with a large ridge. Both factorizations are k x k (trivial); the
+    select keeps the high-accuracy path for well-conditioned panels
+    (sigma parity < 1e-6) while deficient panels degrade gracefully to
+    ~ridge-level orthonormality in their junk directions, which the next
+    round cleans up.
+
+    (eigh-based Loewdin whitening was tried and rejected: TPU's f32 eigh
+    is itself only ~1e-3 accurate, which 1/sqrt(w_small) amplifies
+    catastrophically.)
+
+    On TPU this is ~30x faster than Householder QR for tall-skinny panels
+    (MXU Gram matmul vs a long sequential kernel): ~1 ms vs 35 ms for a
+    100k x 110 f32 panel on v5e.
     """
     dtype = y.dtype
-    ridge = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-12, dtype)
+    if dtype == jnp.float32:
+        # eps_big must exceed the worst-case negative eigenvalue of a
+        # rounded deficient Gram (~k * sqrt(n) * 2^-24); the next round's
+        # small-eps pass removes the distortion it introduces
+        eps_small, eps_big = 1e-7, 1e-2
+    else:
+        eps_small, eps_big = 1e-15, 1e-8
     k = y.shape[1]
+    tiny = jnp.asarray(1e-30 if dtype == jnp.float32 else 1e-290, dtype)
+    eye = jnp.eye(k, dtype=dtype)
 
-    def one_round(y, eps):
-        g = jnp.matmul(y.T, y, precision=PRECISION)
-        g = g + (eps * jnp.trace(g) / k) * jnp.eye(k, dtype=dtype)
-        r = jnp.linalg.cholesky(g, upper=True)
-        return lax.linalg.triangular_solve(r, y, left_side=False, lower=False)
+    def one_round(y):
+        cn = jnp.maximum(jnp.linalg.norm(y, axis=0), tiny)
+        ys = y / cn[None, :]
+        g = jnp.matmul(ys.T, ys, precision=PRECISION)
+        r_small = jnp.linalg.cholesky(g + eps_small * eye, upper=True)
+        ok = jnp.all(jnp.isfinite(r_small))
+        r_big = jnp.linalg.cholesky(g + eps_big * eye, upper=True)
+        r = jnp.where(ok, r_small, r_big)
+        return lax.linalg.triangular_solve(r, ys, left_side=False, lower=False)
 
-    y = one_round(y, ridge)
-    return one_round(y, jnp.zeros((), dtype))
+    return one_round(one_round(one_round(y)))
 
 
 def _thin_qr(y: jnp.ndarray, qr_method: str = "householder") -> jnp.ndarray:
@@ -81,7 +106,7 @@ def power_iter(
     key=0,
     stabilize: str = "auto",
     precision=PRECISION,
-    qr_method: str = "householder",
+    qr_method: str = "auto",
 ) -> jnp.ndarray:
     """Randomized range finder: orthonormal Q approximating range(A).
 
@@ -105,6 +130,12 @@ def power_iter(
     n, m = a.shape
     if stabilize == "auto":
         stabilize = "always" if a.dtype == jnp.float32 else "reference"
+    if qr_method == "auto":
+        # CholeskyQR2 is ~30x faster than Householder on TPU but needs
+        # well-conditioned panels — guaranteed only when every iteration
+        # re-orthonormalizes; pair it with 'always' and keep Householder
+        # for the reference skip-QR heuristic.
+        qr_method = "cholesky" if stabilize == "always" else "householder"
     omega = jax.random.normal(key, (m, omega_rank), dtype=a.dtype)
     y = jnp.matmul(a, omega, precision=precision)
     qr = lambda q: _thin_qr(q, qr_method)
@@ -137,7 +168,7 @@ def random_svd(
     n_oversamples: int,
     key=0,
     stabilize: str = "auto",
-    qr_method: str = "householder",
+    qr_method: str = "auto",
     power_precision=PRECISION,
 ):
     """Randomized SVD: A ~= U @ diag(s) @ Vt with U (m, r), s (r,), Vt (r, n).
