@@ -151,7 +151,14 @@ def power_iter(
         return y
 
     y = lax.fori_loop(0, n_iter, body, y)
-    return qr(y)
+    # The FINAL orthonormalization determines B = Q^T A and hence every
+    # sigma/mode downstream: use exact Householder even on the cholesky
+    # fast path. In-loop CholeskyQR only needs to keep the panel
+    # conditioned; on rank-deficient sketches its ridge-fallback leaves
+    # junk directions ~1e-2 off orthonormal, which (via Householder here)
+    # never reaches B. Cost: one 35 ms call at bench scale vs ~30x savings
+    # on the n_iter in-loop QRs.
+    return _thin_qr(y, "householder")
 
 
 @functools.partial(
