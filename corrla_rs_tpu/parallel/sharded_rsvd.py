@@ -35,25 +35,36 @@ from corrla_rs_tpu.utils.prng import as_key
 __all__ = ["sharded_random_svd", "sharded_power_iter_qr"]
 
 
-def _chol_qr_once(y_l, axis_name, ridge):
-    """One CholeskyQR round on a row-sharded matrix."""
-    g = lax.psum(jnp.matmul(y_l.T, y_l, precision=PRECISION), axis_name)
-    k = g.shape[0]
-    g = g + (ridge * jnp.trace(g) / k) * jnp.eye(k, dtype=g.dtype)
-    r = jnp.linalg.cholesky(g, upper=True)
-    # Y R^{-1}: solve R^T X^T = Y^T  ->  X = Y @ inv(R)
-    q_l = lax.linalg.triangular_solve(
-        r, y_l, left_side=False, lower=False
-    )
-    return q_l
+def _chol_qr_once(y_l, axis_name, eps_small, eps_big, tiny):
+    """One preconditioned CholeskyQR round (ridge fallback) on a
+    row-sharded matrix — the distributed twin of
+    ops.random_svd._cholesky_qr2's round: column norms and the Gram are
+    psum-reduced over the mesh axis; everything else is local."""
+    k = y_l.shape[1]
+    dtype = y_l.dtype
+    cn2 = lax.psum(jnp.sum(y_l * y_l, axis=0), axis_name)
+    cn = jnp.maximum(jnp.sqrt(cn2), tiny)
+    ys_l = y_l / cn[None, :]
+    g = lax.psum(jnp.matmul(ys_l.T, ys_l, precision=PRECISION), axis_name)
+    eye = jnp.eye(k, dtype=dtype)
+    r_small = jnp.linalg.cholesky(g + eps_small * eye, upper=True)
+    ok = jnp.all(jnp.isfinite(r_small))
+    r_big = jnp.linalg.cholesky(g + eps_big * eye, upper=True)
+    r = jnp.where(ok, r_small, r_big)
+    return lax.linalg.triangular_solve(r, ys_l, left_side=False, lower=False)
 
 
 def _chol_qr2(y_l, axis_name, dtype):
-    """CholeskyQR2: numerically equivalent to thin QR for our use."""
-    ridge = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-12, dtype)
-    q_l = _chol_qr_once(y_l, axis_name, ridge)
-    q_l = _chol_qr_once(q_l, axis_name, jnp.zeros((), dtype))
-    return q_l
+    """Three robust rounds — see ops.random_svd._cholesky_qr2 for the
+    rationale (rank-deficient sketches, f32 Gram rounding)."""
+    if dtype == jnp.float32:
+        eps_small, eps_big, tiny = 1e-7, 1e-2, 1e-30
+    else:
+        eps_small, eps_big, tiny = 1e-15, 1e-8, 1e-290
+    tiny = jnp.asarray(tiny, dtype)
+    for _ in range(3):
+        y_l = _chol_qr_once(y_l, axis_name, eps_small, eps_big, tiny)
+    return y_l
 
 
 def _power_iter_sharded(a_l, omega, n_iter, stabilize, axis_name):
