@@ -1,0 +1,70 @@
+"""GP regression + copula extension tests (reference roadmap items,
+readme.md:34,49-54, never implemented there)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu.ops.copula import GaussianCopula
+from corrla_rs_tpu.ops.gp import GpRegressor, gp_kernel_eval
+
+
+def test_gp_interpolates_smooth_function(rng):
+    x = jnp.asarray(np.sort(rng.uniform(0, 6, 60))[:, None])
+    y = jnp.sin(x[:, 0])
+    gp = GpRegressor("rbf", 1.0, 1.0, 1e-6).fit(x, y, optimize_hypers=False)
+    xq = jnp.linspace(0.3, 5.7, 41)[:, None]
+    mean, var = gp.predict(xq)
+    assert float(jnp.max(jnp.abs(mean - jnp.sin(xq[:, 0])))) < 1e-2
+    assert float(jnp.max(var)) < 1e-2
+    # far from data the variance grows
+    m_far, v_far = gp.predict(jnp.array([[30.0]]))
+    assert float(v_far[0]) > 0.5
+
+
+def test_gp_hyperparameter_mle(rng):
+    # noisy linear-ish data: MLE should find a sensible noise level
+    x = jnp.asarray(rng.uniform(0, 4, 120)[:, None])
+    y = jnp.sin(2.0 * x[:, 0]) + 0.05 * jnp.asarray(
+        rng.standard_normal(120)
+    )
+    gp = GpRegressor("rbf", 2.0, 2.0, 1e-2).fit(x, y, optimize_hypers=True)
+    assert 1e-4 < gp.noise_var < 0.05
+    mean, _ = gp.predict(x)
+    rmse = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
+    assert rmse < 0.08
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "matern52", "matern32"])
+def test_gp_kernels_psd(rng, kernel):
+    r = jnp.asarray(np.abs(rng.standard_normal((5, 5))))
+    k = gp_kernel_eval(r, kernel, 1.0, 2.0)
+    assert float(jnp.max(k)) <= 2.0 + 1e-9
+    assert bool(jnp.all(k > 0))
+
+
+def test_copula_recovers_dependence(rng):
+    # correlated lognormal + gaussian marginals
+    z = rng.multivariate_normal(
+        [0, 0], [[1.0, 0.8], [0.8, 1.0]], size=4000
+    )
+    x = np.stack([np.exp(z[:, 0]), 2.0 * z[:, 1] + 5.0], axis=1)
+    cop = GaussianCopula().fit(jnp.asarray(x))
+    assert abs(float(cop.corr[0, 1]) - 0.8) < 0.05
+
+    s = np.asarray(cop.sample(8000, key=1))
+    # marginals preserved
+    assert abs(np.median(s[:, 0]) - np.median(x[:, 0])) < 0.15
+    assert abs(s[:, 1].mean() - x[:, 1].mean()) < 0.15
+    # dependence preserved (rank correlation)
+    from scipy.stats import spearmanr
+
+    rho_true = spearmanr(x[:, 0], x[:, 1]).statistic
+    rho_samp = spearmanr(s[:, 0], s[:, 1]).statistic
+    assert abs(rho_true - rho_samp) < 0.06
+
+
+def test_copula_independent(rng):
+    x = jnp.asarray(rng.standard_normal((3000, 3)))
+    cop = GaussianCopula().fit(x)
+    off = np.asarray(cop.corr - np.eye(3))
+    assert np.abs(off).max() < 0.06
