@@ -41,9 +41,21 @@ from corrla_rs_tpu.models.active_subspaces import (
     FittedActiveSsRsvd,
     PolyGradientEstimator,
 )
+from corrla_rs_tpu.ops.copula import GaussianCopula
+from corrla_rs_tpu.ops.diagnostics import effective_sample_size, gelman_rubin
+from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
+from corrla_rs_tpu.ops.gp import GpRegressor
 from corrla_rs_tpu.ops.interp import RbfInterp
 from corrla_rs_tpu.ops.random_svd import random_svd, power_iter
 from corrla_rs_tpu.ops.samplers import DeMcSampler, constr_dirichlet_sample
+from corrla_rs_tpu.ops.univariate_rv import (
+    BetaRv,
+    ExponentialRv,
+    KdeRv,
+    NormalRv,
+    build_kde,
+)
+from corrla_rs_tpu.utils.checkpoint import load_model, save_model
 
 # Aliases matching the exact pyo3 class names (lib_math_utils_py.rs:179-283)
 PyRbfInterp = RbfInterp
@@ -68,7 +80,20 @@ __all__ = [
     "FittedActiveSsRsvd",
     "PolyGradientEstimator",
     "DeMcSampler",
+    "DreamSampler",
+    "dream_run",
     "constr_dirichlet_sample",
+    "NormalRv",
+    "BetaRv",
+    "ExponentialRv",
+    "KdeRv",
+    "build_kde",
+    "GpRegressor",
+    "GaussianCopula",
+    "gelman_rubin",
+    "effective_sample_size",
+    "save_model",
+    "load_model",
     "PyRbfInterp",
     "PyPodI",
     "PyDMDc",
