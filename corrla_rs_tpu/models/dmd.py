@@ -131,9 +131,18 @@ class DMDc:
     """
 
     def __init__(self, x_data, u_data, n_modes: int, n_iters: int,
-                 dt: float = 1.0, key=0):
+                 dt: float = 1.0, key=0, mesh=None):
         x = jnp.asarray(x_data)
         u = jnp.asarray(u_data)
+        if mesh is not None:
+            # Row-shard the state dimension; GSPMD partitions the whole
+            # jitted reduce kernel (the fast-QR path is Gram-based, so the
+            # big contractions become psums over the mesh axis). The time
+            # axis (n_t) is small and stays replicated.
+            from corrla_rs_tpu.parallel.mesh import shard_rows
+
+            if x.shape[0] % mesh.devices.size == 0:
+                x = shard_rows(x, mesh)
         self.n_snapshots = x.shape[1]
         self.n_x = x.shape[0]
         self.n_u = u.shape[0]

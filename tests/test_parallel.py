@@ -176,3 +176,29 @@ def test_sharded_stats_autopartition(rng):
     c1 = mat_cov_centered(x)
     c2 = jax.jit(mat_cov_centered)(x_sh)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-10)
+
+
+def test_sharded_dmdc_matches_single():
+    _require_8()
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu import DMDc
+
+    mesh = make_mesh(8)
+    nx, nt = 160, 30
+    xg = np.linspace(0, 10, nx)
+    tg = np.linspace(0, 10, nt)
+    u = np.exp(0.2 * tg)[None, :].astype(np.float32)
+    snaps = (np.sin(xg[:, None] + 0.2 * tg[None, :]) * u).astype(np.float32)
+    m1 = DMDc(jnp.asarray(snaps), jnp.asarray(u), 8, 20, key=3)
+    m2 = DMDc(jnp.asarray(snaps), jnp.asarray(u), 8, 20, key=3, mesh=mesh)
+    x0 = jnp.asarray(snaps[:, 0:1])
+    p1 = m1.predict_multiple(x0, jnp.asarray(u))
+    p2 = m2.predict_multiple(x0, jnp.asarray(u))
+    np.testing.assert_allclose(
+        np.asarray(p2), np.asarray(p1), rtol=1e-2, atol=1e-2
+    )
+    # both accurate vs truth at the reference tolerance
+    np.testing.assert_allclose(
+        np.asarray(p2)[:, 19], snaps[:, 20], atol=5e-2
+    )
