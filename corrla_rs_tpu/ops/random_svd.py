@@ -147,7 +147,8 @@ def power_iter(
             y = lax.cond(i > 2, qr, lambda q: q, y)
         z = jnp.matmul(a.T, y, precision=precision)
         y = jnp.matmul(a, z, precision=precision)
-        y = y / jnp.linalg.norm(y)
+        # guard: a zero panel (e.g. A == 0) must not produce 0/0 = NaN
+        y = y / jnp.maximum(jnp.linalg.norm(y), jnp.asarray(1e-30, y.dtype))
         return y
 
     y = lax.fori_loop(0, n_iter, body, y)

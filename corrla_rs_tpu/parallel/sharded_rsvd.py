@@ -85,7 +85,7 @@ def _power_iter_sharded(a_l, omega, n_iter, stabilize, axis_name):
         z = lax.psum(jnp.matmul(a_l.T, y_l, precision=PRECISION), axis_name)
         y_l = jnp.matmul(a_l, z, precision=PRECISION)
         norm2 = lax.psum(jnp.sum(y_l * y_l), axis_name)
-        y_l = y_l / jnp.sqrt(norm2)
+        y_l = y_l / jnp.maximum(jnp.sqrt(norm2), jnp.asarray(1e-30, dtype))
         return y_l
 
     y_l = lax.fori_loop(0, n_iter, body, y_l)

@@ -1,0 +1,102 @@
+"""Property-style sweeps: random shapes/configs against exact oracles.
+
+Catches shape-handling and dtype edge cases the fixed fixtures miss.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu.ops.interp import RbfInterp
+from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.ops.samplers import constr_dirichlet_sample
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_rsvd_random_configs(seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(8, 300))
+    n = int(rng.integers(8, 300))
+    rank = int(rng.integers(1, min(m, n, 12) + 1))
+    n_iter = int(rng.integers(4, 16))
+    n_over = int(rng.integers(2, 12))
+    a = jnp.asarray(rng.standard_normal((m, n)))
+    u, s, vt = random_svd(a, rank, n_iter, n_over, key=seed)
+    assert u.shape == (m, rank) and s.shape == (rank,) and vt.shape == (rank, n)
+    assert bool(jnp.all(jnp.isfinite(u))) and bool(jnp.all(jnp.isfinite(vt)))
+    s_exact = np.linalg.svd(np.asarray(a), compute_uv=False)
+    # leading singular value always well converged; all estimates bounded
+    np.testing.assert_allclose(float(s[0]), s_exact[0], rtol=1e-2)
+    assert (np.asarray(s) <= s_exact[0] * (1 + 1e-6)).all()
+    assert (np.asarray(s) >= -1e-9).all()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_rsvd_exact_low_rank_random(seed):
+    rng = np.random.default_rng(100 + seed)
+    m = int(rng.integers(30, 200))
+    n = int(rng.integers(30, 200))
+    r = int(rng.integers(1, 6))
+    a = jnp.asarray(
+        rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+    )
+    u, s, vt = random_svd(a, r, 12, 8, key=seed)
+    recon = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    np.testing.assert_allclose(recon, np.asarray(a), atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dirichlet_random_feasible_bounds(seed):
+    rng = np.random.default_rng(200 + seed)
+    d = int(rng.integers(2, 6))
+    # build feasible bounds around a random simplex point
+    center = rng.dirichlet(np.ones(d))
+    width = rng.uniform(0.05, 0.3)
+    bounds = np.stack(
+        [np.clip(center - width, 0, 1), np.clip(center + width, 0, 1)],
+        axis=1,
+    )
+    s = constr_dirichlet_sample(bounds, 32, 500, 200_000, 1.0, key=seed)
+    arr = np.asarray(s)
+    np.testing.assert_allclose(arr.sum(axis=1), 1.0, atol=1e-6)
+    assert (arr >= bounds[:, 0][None, :] - 1e-12).all()
+    assert (arr <= bounds[:, 1][None, :] + 1e-12).all()
+
+
+def test_dirichlet_c_scale_device():
+    bounds = np.array([[0.0, 0.01], [0.7, 0.9], [0.2, 0.4]]) * 2.0
+    s = constr_dirichlet_sample(bounds, 16, 500, 100_000, 2.0, key=0)
+    np.testing.assert_allclose(np.asarray(s).sum(axis=1), 2.0, atol=1e-6)
+
+
+def test_rbf_duplicate_support_points(rng):
+    # exact duplicate rows make the kernel matrix singular; the LU default
+    # cannot solve it, but the reference-parity pinv path must survive
+    # (interp_utils.rs:131-144 uses pinv unconditionally).
+    x = jnp.asarray(rng.standard_normal((20, 2)))
+    x = jnp.concatenate([x, x[:3]], axis=0)  # 3 duplicates
+    y = jnp.sin(x[:, :1])
+    rbf = RbfInterp(2, 1.0, 2, 1, method="pinv").fit(x, y)
+    pred = rbf.predict(x[:5])
+    assert bool(jnp.all(jnp.isfinite(pred)))
+    # interpolation quality still reasonable away from the degeneracy
+    assert float(jnp.max(jnp.abs(pred - y[:5]))) < 0.2
+
+
+def test_rsvd_zero_matrix():
+    a = jnp.zeros((40, 10))
+    u, s, vt = random_svd(a, 3, 8, 5, key=0)
+    np.testing.assert_allclose(np.asarray(s), 0.0, atol=1e-12)
+    assert bool(jnp.all(jnp.isfinite(u)))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_rsvd_dtypes(dtype, rng):
+    a = jnp.asarray(rng.standard_normal((100, 30)), dtype=dtype)
+    u, s, vt = random_svd(a, 4, 10, 8, key=0)
+    assert u.dtype == jnp.dtype(dtype)
+    s_exact = np.linalg.svd(np.asarray(a, np.float64), compute_uv=False)
+    # f64 with the reference skip-QR heuristic converges trailing sigmas
+    # only to ~1e-5 rel on gapless Gaussian spectra (same as the reference)
+    rtol = 1e-3 if dtype == "float32" else 1e-5
+    np.testing.assert_allclose(np.asarray(s, np.float64), s_exact[:4],
+                               rtol=rtol)
