@@ -285,10 +285,10 @@ def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ln_prob_fn", "n_steps", "prop_fixup_fn"),
+    static_argnames=("ln_prob_fn", "n_steps", "prop_fixup_fn", "unroll"),
 )
 def demc_run(init_heads, ln_prob_fn, n_steps: int, gamma: float,
-             var_epsilon: float, key, prop_fixup_fn=None):
+             var_epsilon: float, key, prop_fixup_fn=None, unroll: int = 4):
     """Run n_steps of DEMC on all chains; returns (history, state).
 
     history: (n_steps, n_chains, ndim) — one generation per step.
@@ -304,7 +304,10 @@ def demc_run(init_heads, ln_prob_fn, n_steps: int, gamma: float,
         state = demc_step(state, ln_prob_fn, gamma, var_epsilon, prop_fixup_fn)
         return state, state.heads
 
-    state, history = lax.scan(scan_body, state, None, length=n_steps)
+    state, history = lax.scan(
+        scan_body, state, None, length=n_steps,
+        unroll=min(unroll, max(n_steps, 1)),
+    )
     return history, state
 
 
