@@ -35,15 +35,25 @@ from corrla_rs_tpu.utils.prng import as_key
 DMD_N_OVERSAMPLES = 12
 
 
-def _pinv_complex_np(x: np.ndarray, eps: float = 1.0e-16) -> np.ndarray:
-    """Complex Moore-Penrose pinv on host, parity with mat_pinv_comp
-    (mat_utils.rs:56-71): 1 / (s + eps(1+i)) regularization.
+def _pinv_complex_np(x: np.ndarray, rtol: float = 1.0e-10) -> np.ndarray:
+    """Complex Moore-Penrose pinv on host with a RELATIVE rank cutoff.
+
+    Deliberate deviation from the reference's mat_pinv_comp
+    (mat_utils.rs:56-71, additive eps=1e-16): when DMDc is over-
+    parameterized (n_modes > numerical rank — routine in practice), the
+    junk mode columns of Phi are *near*-zero, and 1/(s + 1e-16) amplifies
+    them by ~1e16; the resulting A operator carries O(1)-to-huge garbage
+    and rollouts explode (reproduced: rank-2 data with n_modes=6 gives
+    rollout error 1e26 under the reference formula, 2e-2 with the cutoff).
+    Zeroing singular values below rtol * s_max is the standard
+    rank-revealing pinv and keeps exact parity on full-rank fits.
 
     Runs on host LAPACK: the matrix is (n_x, r) with tiny r, and TPU
     runtimes (this one included) do not support complex dtypes on device.
     """
     u, s, vh = np.linalg.svd(x, full_matrices=False)
-    s_inv = 1.0 / (s.astype(x.dtype) + (eps + 1j * eps))
+    cutoff = rtol * (s[0] if s.size else 1.0)
+    s_inv = np.where(s > cutoff, 1.0 / np.maximum(s, 1e-300), 0.0)
     return (vh.conj().T * s_inv[None, :]) @ u.conj().T
 
 

@@ -79,3 +79,30 @@ def test_factored_rollout_matches_dense():
     dense = model.predict_multiple(x0, u)
     fact = model.predict_multiple(x0, u, method="modes")
     assert_mat_approx_eq(fact, dense, 1e-6)
+
+
+def test_dmdc_multiple_control_inputs():
+    # n_u = 2 control rows (the reference supports arbitrary n_u,
+    # dmd_rom.rs:49). The snapshot family has numerical rank 2, so the
+    # well-posed fit uses n_modes <= rank; the over-parameterized fit must
+    # stay bounded (the reference's additive-eps complex pinv explodes to
+    # 1e26+ there — our rank-cutoff pinv keeps it finite).
+    nx, nt = 40, 50
+    x = np.linspace(0, 10, nx)
+    t = np.linspace(0, 10, nt)
+    u = np.stack([np.exp(0.15 * t), np.sin(0.5 * t) + 2.0])  # (2, nt)
+    snaps = (
+        np.sin(x[:, None] + 0.2 * t[None, :]) * u[0][None, :]
+        + 0.3 * np.cos(x[:, None]) * u[1][None, :]
+    )
+    model = DMDc(jnp.asarray(snaps), jnp.asarray(u), 4, 30)
+    assert model.n_u == 2
+    assert model.est_b_til().shape == (nx, 2)
+    x0 = jnp.asarray(snaps[:, 0:1])
+    pred = model.predict_multiple(x0, jnp.asarray(u))
+    assert_mat_approx_eq(pred[:, 19:20], snaps[:, 20:21], 5e-2)
+
+    over = DMDc(jnp.asarray(snaps), jnp.asarray(u), 12, 30)
+    pred_over = over.predict_multiple(x0, jnp.asarray(u))
+    assert bool(jnp.all(jnp.isfinite(pred_over)))
+    assert float(jnp.max(jnp.abs(pred_over))) < 1e3  # bounded, no blow-up

@@ -118,3 +118,24 @@ def test_cs_mcmc_dirichlet_sample_surface():
 def test_cs_dirichlet_sample_surface():
     samples = crt.cs_dirichlet_sample(BOUNDS, 6, 500, 20000, 1.0, np.ones(3))
     assert samples.shape == (6, 3)
+
+
+def test_pick_others_batched_distinct_and_uniform():
+    import jax
+
+    from corrla_rs_tpu.ops.samplers import pick_others_batched
+
+    n, k = 16, 6
+    counts = np.zeros((n, n))
+    for seed in range(400):
+        idx = np.asarray(pick_others_batched(jax.random.key(seed), n, k))
+        for c in range(n):
+            row = idx[c]
+            assert len(set(row.tolist())) == k, "indices must be distinct"
+            assert c not in row, "self index must be excluded"
+            counts[c, row] += 1
+    # each other-index should appear with frequency ~ k/(n-1)
+    expected = 400 * k / (n - 1)
+    off_diag = counts[~np.eye(n, dtype=bool)]
+    assert abs(off_diag.mean() - expected) < 1e-9  # exact by counting
+    assert off_diag.std() < 0.15 * expected
