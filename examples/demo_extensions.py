@@ -1,0 +1,58 @@
+"""Beyond-parity extensions demo: GP regression, Gaussian copula, MCMC
+convergence diagnostics (reference roadmap items readme.md:34,49-54 that
+were never implemented there, plus production MCMC checks)."""
+try:
+    from corrla_rs_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+except Exception:
+    pass
+
+import numpy as np
+import jax.numpy as jnp
+
+from corrla_rs_tpu import (
+    DreamSampler,
+    GaussianCopula,
+    GpRegressor,
+    effective_sample_size,
+    gelman_rubin,
+)
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    # GP regression with hyperparameter MLE
+    x = np.sort(rng.uniform(0, 6, 80)).astype(np.float32)[:, None]
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(80).astype(np.float32)
+    gp = GpRegressor("matern52").fit(x, y)
+    xq = np.linspace(0.2, 5.8, 25, dtype=np.float32)[:, None]
+    mean, var = gp.predict(xq)
+    err = float(np.max(np.abs(np.asarray(mean) - np.sin(xq[:, 0]))))
+    print(f"GP(matern52): max err {err:.4f}; fitted noise_var "
+          f"{gp.noise_var:.2e}, length_scale {gp.length_scale:.2f}")
+
+    # Gaussian copula: lognormal x gaussian marginals with latent rho=0.8
+    z = rng.multivariate_normal([0, 0], [[1, 0.8], [0.8, 1]], size=4000)
+    data = np.stack([np.exp(z[:, 0]), 2 * z[:, 1] + 5], axis=1)
+    cop = GaussianCopula().fit(jnp.asarray(data.astype(np.float32)))
+    synth = np.asarray(cop.sample(4000, key=1))
+    print(f"copula: latent corr {float(cop.corr[0,1]):.3f};"
+          f" synthetic marginal medians {np.median(synth, axis=0).round(3)}"
+          f" vs data {np.median(data, axis=0).round(3)}")
+
+    # DREAM + diagnostics
+    def lnp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    s = DreamSampler(lnp, jnp.asarray(
+        rng.standard_normal((16, 4)).astype(np.float32)), n_adapt=300, key=2)
+    s.sample_mcmc(2000)
+    hist = s.chain_history[800:]
+    print(f"DREAM: acceptance {s.accept_ratio():.3f};"
+          f" R-hat {np.asarray(gelman_rubin(hist)).round(3)};"
+          f" ESS {np.asarray(effective_sample_size(hist)).astype(int)}")
+
+
+if __name__ == "__main__":
+    main()
