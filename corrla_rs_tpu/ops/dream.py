@@ -207,6 +207,11 @@ class DreamSampler:
     def chain_history(self) -> jnp.ndarray:
         return jnp.concatenate(self._history, axis=0)
 
+    def get_chain_samples(self, n_tail: int, chain_id: int) -> jnp.ndarray:
+        return self.chain_history[-n_tail:, chain_id, :]
+
     def get_samples(self, n_tail: int) -> jnp.ndarray:
+        if n_tail == 0:
+            return jnp.zeros((0, self.ndim), self.chain_history.dtype)
         tail = self.chain_history[-n_tail:]
         return tail.reshape(n_tail * self.n_chains, self.ndim)

@@ -122,9 +122,10 @@ def power_iter(
       - 'reference': thin-QR only when iteration index > 2 (the reference
         heuristic, random_svd.rs:37-39), L2 rescale every iteration.
       - 'always': thin-QR every iteration.
-    ``qr_method``: 'householder' (LAPACK-style, safest) or 'cholesky'
-    (CholeskyQR2, the TPU fast path — see _cholesky_qr2; use with
-    stabilize='always' so panels stay well-conditioned between QRs).
+    ``qr_method``: 'auto' (default: cholesky fast path when stabilize
+    resolves to 'always', householder otherwise), 'householder'
+    (LAPACK-style, safest) or 'cholesky' (see _cholesky_qr2). The final
+    orthonormalization is always Householder.
     """
     key = as_key(key)
     n, m = a.shape

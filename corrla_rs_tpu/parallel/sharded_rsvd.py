@@ -7,10 +7,10 @@ The north-star speed lever (SURVEY.md §7 stage 4). The tall matrix A
     Z     = psum_rows(A_l^T @ Y_l)            (Gram reduction over ICI)
     Y_l   = A_l @ Z                           (local MXU matmul)
 
-The distributed thin-QR is CholeskyQR2 (two rounds of
-G = psum(Y_l^T Y_l); R = chol(G); Y_l <- Y_l R^-T) with a trace-scaled
-ridge on G for f32 safety — communication is two k x k psums per QR, so
-the collective payload is tiny compared to the local FLOPs.
+The distributed thin-QR is the preconditioned ridge-fallback CholeskyQR
+(three rounds of psum'd column norms + Gram, Cholesky with small/large
+ridge select — see ops.random_svd._cholesky_qr2) — communication is two
+k x k psums per round, tiny next to the local FLOPs.
 
 The small B = psum(Q_l^T A_l) SVD is replicated on every chip
 (k x m with k = rank + oversamples).
