@@ -116,6 +116,7 @@ class GpRegressor:
                 float(v) for v in jnp.exp(lp)
             )
         self.x_train = x
+        self._yc = yc
         self._chol, self._alpha = _gp_fit(x, yc, self._log_params(),
                                           self.kernel)
         return self
@@ -130,15 +131,6 @@ class GpRegressor:
         return (mean, var) if return_var else mean
 
     def log_marginal_likelihood(self) -> float:
-        yc = jnp.matmul(
-            self._chol,
-            jax.scipy.linalg.solve_triangular(
-                self._chol, jnp.matmul(self._chol.T, self._alpha,
-                                       precision=PRECISION),
-                lower=True, trans=1,
-            ),
-            precision=PRECISION,
-        )  # reconstruct centered y (K alpha)
         n = self.x_train.shape[0]
-        return -float(_nlml(self._log_params(), self.x_train, yc,
+        return -float(_nlml(self._log_params(), self.x_train, self._yc,
                             self.kernel)) * n

@@ -51,10 +51,16 @@ def _builtin_registry():
 
 def save_model(path: str, model) -> None:
     """Serialize a fitted model's attributes to an .npz file."""
+    import jax.sharding
+
     arrays = {}
     scalars = {}
     for name, val in vars(model).items():
-        if isinstance(val, (jnp.ndarray, np.ndarray)):
+        if isinstance(val, jax.sharding.Mesh):
+            # device meshes are machine-specific; persisted as None —
+            # reattach (model._mesh = mesh) after load_model if refitting
+            scalars[name] = None
+        elif isinstance(val, (jnp.ndarray, np.ndarray)):
             arrays[f"arr_{name}"] = np.asarray(val)
         elif isinstance(val, (int, float, bool, str)) or val is None:
             scalars[name] = val

@@ -85,3 +85,19 @@ def test_unserializable_raises(tmp_path):
 
     with pytest.raises(TypeError):
         save_model(str(tmp_path / "w.npz"), w)
+
+
+def test_mesh_fitted_model_round_trip(rng, tmp_path):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from corrla_rs_tpu.parallel.mesh import make_mesh
+
+    x = jnp.asarray(rng.standard_normal((160, 8)))
+    pca = PcaRsvd(x, 3, mesh=make_mesh(8))
+    path = str(tmp_path / "pca_mesh.npz")
+    save_model(path, pca)  # mesh dropped, not a crash
+    pca2 = load_model(path)
+    assert pca2._mesh is None
+    assert_mat_approx_eq(pca2.apply_tr(x), pca.apply_tr(x), 1e-10)

@@ -68,3 +68,11 @@ def test_copula_independent(rng):
     cop = GaussianCopula().fit(x)
     off = np.asarray(cop.corr - np.eye(3))
     assert np.abs(off).max() < 0.06
+
+
+def test_gp_log_marginal_likelihood_sane(rng):
+    x = jnp.asarray(np.sort(rng.uniform(0, 4, 40))[:, None])
+    y = jnp.sin(x[:, 0])
+    gp_good = GpRegressor("rbf", 1.0, 1.0, 1e-4).fit(x, y, optimize_hypers=False)
+    gp_bad = GpRegressor("rbf", 100.0, 1e-3, 10.0).fit(x, y, optimize_hypers=False)
+    assert gp_good.log_marginal_likelihood() > gp_bad.log_marginal_likelihood()
