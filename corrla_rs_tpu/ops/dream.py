@@ -17,9 +17,10 @@ randomized subspace sampling"):
 
 TPU-first: all chains advance as one vmapped generation inside ``lax.scan``
 — this is the ">= 1M samples/sec" north-star kernel (BASELINE.json).
-Outlier-chain correction (IQR test on chain means) is intentionally left
-out in favor of detailed balance; burn-in adaptation freezes after
-``n_adapt`` generations so the stationary chain is a valid MCMC.
+Optional Vrugt-style outlier-chain correction (``outlier_reset`` /
+DreamSampler(outlier_correct=True)) runs only inside the burn-in window;
+adaptation freezes after ``n_adapt`` generations so the stationary chain
+is a valid MCMC.
 """
 from __future__ import annotations
 
@@ -33,7 +34,7 @@ from jax import lax
 from corrla_rs_tpu.ops.samplers import pick_others_batched
 from corrla_rs_tpu.utils.prng import as_key
 
-__all__ = ["DreamState", "dream_run", "DreamSampler"]
+__all__ = ["DreamState", "dream_run", "DreamSampler", "outlier_reset"]
 
 
 class DreamState(NamedTuple):
@@ -166,14 +167,38 @@ def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
     return history, state
 
 
+def outlier_reset(heads, head_lnp):
+    """Vrugt-style outlier-chain correction (burn-in only).
+
+    Chains whose head log-density falls below Q1 - 2*IQR are relocated to
+    the best chain's state. Breaks detailed balance, so apply only during
+    burn-in (DreamSampler does this automatically within its n_adapt
+    window). Returns (new_heads, new_lnp, n_reset).
+    """
+    q1, q3 = jnp.percentile(head_lnp, jnp.asarray([25.0, 75.0]))
+    thresh = q1 - 2.0 * (q3 - q1)
+    is_outlier = head_lnp < thresh
+    best = jnp.argmax(head_lnp)
+    new_heads = jnp.where(is_outlier[:, None], heads[best][None, :], heads)
+    new_lnp = jnp.where(is_outlier, head_lnp[best], head_lnp)
+    return new_heads, new_lnp, jnp.sum(is_outlier)
+
+
 class DreamSampler:
     """Stateful wrapper mirroring the DeMcSampler surface (get_samples,
-    accept_ratio) with DREAM proposals."""
+    accept_ratio) with DREAM proposals.
+
+    ``outlier_correct=True`` applies the IQR outlier-chain test every
+    ``outlier_every`` generations while still inside the ``n_adapt``
+    burn-in window (stuck chains relocate to the best chain — standard
+    DREAM practice; never applied after burn-in, so the stationary chain
+    remains a valid MCMC)."""
 
     def __init__(self, ln_prob_fn: Callable, init_chains, delta_max: int = 3,
                  n_cr: int = 3, gamma_jump_prob: float = 0.2, b: float = 0.05,
                  b_star: float = 1e-6, n_adapt: int = 0,
-                 prop_fixup_fn: Callable | None = None, key=0):
+                 prop_fixup_fn: Callable | None = None, key=0,
+                 outlier_correct: bool = False, outlier_every: int = 100):
         heads = jnp.asarray(init_chains)
         self.n_chains, self.ndim = heads.shape
         self.ln_prob_fn = ln_prob_fn
@@ -182,22 +207,45 @@ class DreamSampler:
             b=b, b_star=b_star, n_adapt=n_adapt,
         )
         self.prop_fixup_fn = prop_fixup_fn
+        self.outlier_correct = bool(outlier_correct)
+        self.outlier_every = int(outlier_every)
         self._key = as_key(key)
         self._heads = heads
         self._history = [heads[None, :, :]]
         self.n_accept = 0
         self.n_total = 0
+        self.n_outlier_resets = 0
+        self._gens = 0  # generations drawn so far (adaptation is global)
 
-    def sample_mcmc(self, n_samples: int):
+    def _run_block(self, block: int, n_adapt_left: int):
         self._key, run_key = jax.random.split(self._key)
+        cfg = dict(self.cfg)
+        cfg["n_adapt"] = n_adapt_left
         history, state = dream_run(
-            self._heads, self.ln_prob_fn, int(n_samples), key=run_key,
-            prop_fixup_fn=self.prop_fixup_fn, **self.cfg,
+            self._heads, self.ln_prob_fn, block, key=run_key,
+            prop_fixup_fn=self.prop_fixup_fn, **cfg,
         )
         self._heads = state.heads
         self._history.append(history)
         self.n_accept += int(state.n_accept)
-        self.n_total += int(n_samples) * self.n_chains
+        self.n_total += block * self.n_chains
+        self._gens += block
+
+    def sample_mcmc(self, n_samples: int):
+        n = int(n_samples)
+        done = 0
+        while done < n:
+            adapt_left = max(self.cfg["n_adapt"] - self._gens, 0)
+            if self.outlier_correct and adapt_left > 0:
+                block = min(self.outlier_every, n - done, adapt_left)
+            else:
+                block = n - done
+            self._run_block(block, adapt_left)
+            done += block
+            if self.outlier_correct and self._gens <= self.cfg["n_adapt"]:
+                lnp = jax.vmap(self.ln_prob_fn)(self._heads)
+                self._heads, _lnp, n_reset = outlier_reset(self._heads, lnp)
+                self.n_outlier_resets += int(n_reset)
         return self
 
     def accept_ratio(self) -> float:

@@ -87,3 +87,36 @@ def test_dream_requires_enough_chains():
 
     with pytest.raises(AssertionError):
         dream_run(jnp.zeros((4, 2)), lnp, 10, delta_max=3)
+
+
+def test_outlier_chain_correction():
+    from corrla_rs_tpu.ops.dream import DreamSampler, outlier_reset
+
+    # direct unit check: an obviously stuck chain relocates to the best
+    heads = jnp.asarray(np.vstack([np.random.default_rng(0).standard_normal((9, 2)),
+                                   [[50.0, 50.0]]]))
+    lnp = jnp.asarray(np.concatenate([np.full(9, -1.0), [-5000.0]]))
+    new_heads, new_lnp, n_reset = outlier_reset(heads, lnp)
+    assert int(n_reset) == 1
+    best = int(jnp.argmax(lnp))
+    np.testing.assert_allclose(np.asarray(new_heads[-1]),
+                               np.asarray(heads[best]))
+
+    # end-to-end: a chain started far in the tail gets rescued during
+    # burn-in and the sampler still converges
+    def lnp_fn(x):
+        return -0.5 * jnp.sum(x**2)
+
+    heads0 = np.random.default_rng(1).standard_normal((12, 2)) * 0.5
+    heads0[0] = [500.0, 500.0]  # stuck far away
+    s = DreamSampler(lnp_fn, jnp.asarray(heads0), n_adapt=600,
+                     outlier_correct=True, outlier_every=50, key=0)
+    s.sample_mcmc(2000)
+    assert s.n_outlier_resets >= 1
+    tail = np.asarray(s.get_samples(500))
+    assert abs(tail.mean()) < 0.3
+    assert abs(tail.std() - 1.0) < 0.3
+    # adaptation window is global across calls: further sampling is pure
+    g_before = s._gens
+    s.sample_mcmc(100)
+    assert s._gens == g_before + 100
