@@ -81,7 +81,8 @@ def _demc_sharded_jit(heads, ln_prob_fn, n_steps, gamma, var_epsilon, key,
         # mark the init value varying over the chains axis to match
         n_acc0 = lax.pvary(jnp.zeros((), jnp.int32), (axis_name,))
         (heads_l, _lnp_l, n_acc), hist_l = lax.scan(
-            step, (heads_l, lnp_l, n_acc0), step_keys
+            step, (heads_l, lnp_l, n_acc0), step_keys,
+            unroll=min(4, max(n_steps, 1)),
         )
         n_acc_total = lax.psum(n_acc, axis_name)
         return hist_l, heads_l, n_acc_total
@@ -190,7 +191,8 @@ def _dream_sharded_jit(heads, ln_prob_fn, n_steps, key, delta_max, n_cr,
 
         step_keys = jax.random.split(key, n_steps)
         (heads_l, _l, _p, _j, _n, n_acc, _t), hist_l = lax.scan(
-            step, (heads_l, lnp_l, p_cr0, stats0, stats0, acc0, t0), step_keys
+            step, (heads_l, lnp_l, p_cr0, stats0, stats0, acc0, t0), step_keys,
+            unroll=min(4, max(n_steps, 1)),
         )
         return hist_l, heads_l, lax.psum(n_acc, axis_name)
 
