@@ -77,6 +77,11 @@ def cs_dirichlet_rejection_host(bounds, n_samples: int, max_zshots: int,
     Same contract as ops.samplers.constr_dirichlet_sample; intended for
     pathological acceptance rates where the fixed-chunk device loop wastes
     HBM bandwidth on rejected rows.
+
+    Note: on infeasible bounds this runs the FULL shot budget
+    (max_zshots * chunk_size draws split across threads) before raising —
+    prefer the device backend for a fast feasibility check, or pass a
+    small max_zshots first.
     """
     lib = _load()
     if lib is None:
