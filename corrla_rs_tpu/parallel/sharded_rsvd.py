@@ -7,10 +7,14 @@ The north-star speed lever (SURVEY.md §7 stage 4). The tall matrix A
     Z     = psum_rows(A_l^T @ Y_l)            (Gram reduction over ICI)
     Y_l   = A_l @ Z                           (local MXU matmul)
 
-The distributed thin-QR is the preconditioned ridge-fallback CholeskyQR
-(three rounds of psum'd column norms + Gram, Cholesky with small/large
-ridge select — see ops.random_svd._cholesky_qr2) — communication is two
-k x k psums per round, tiny next to the local FLOPs.
+The in-loop distributed thin-QR is the preconditioned ridge-fallback
+CholeskyQR (three rounds of psum'd column norms + Gram, Cholesky with
+small/large ridge select — see ops.random_svd._cholesky_qr2) —
+communication is two k x k psums per round, tiny next to the local FLOPs.
+The FINAL orthonormalization is an exact distributed TSQR (``_tsqr``):
+local Householder panels + one replicated QR of the gathered R stack —
+backward stable, so the multi-chip path holds the same f32 sigma-parity
+bar (< 1e-6) as the single-chip Householder final QR.
 
 The small B = psum(Q_l^T A_l) SVD is replicated on every chip
 (k x m with k = rank + oversamples).
@@ -67,6 +71,28 @@ def _chol_qr2(y_l, axis_name, dtype):
     return y_l
 
 
+def _tsqr(y_l, axis_name):
+    """Distributed exact thin QR (one-level TSQR).
+
+    Local Householder QR of each shard's (n_local, k) panel, ``all_gather``
+    of the k x k R factors, one replicated Householder QR of the stacked
+    (n_dev*k, k) R, then a local combine Q_l @ Q_r[shard block]. Backward
+    stable like Householder (unlike CholeskyQR2's ridge fallback), so it is
+    the FINAL orthonormalization of the sharded range finder — the same
+    rule the single-chip path applies (ops.random_svd.power_iter: the final
+    QR alone determines B = Q^T A and every sigma downstream).
+    Communication: one k x k all_gather; the stacked-R QR is replicated
+    (n_dev*k x k — trivial next to the sharded matmuls).
+    """
+    k = y_l.shape[1]
+    q_l, r_l = jnp.linalg.qr(y_l, mode="reduced")
+    r_all = lax.all_gather(r_l, axis_name, tiled=True)
+    q_r = jnp.linalg.qr(r_all, mode="reduced")[0]
+    idx = lax.axis_index(axis_name)
+    q_r_block = lax.dynamic_slice_in_dim(q_r, idx * k, k)
+    return jnp.matmul(q_l, q_r_block, precision=PRECISION)
+
+
 def _power_iter_sharded(a_l, omega, n_iter, stabilize, axis_name):
     """Row-sharded randomized range finder; returns row-sharded Q_l."""
     dtype = a_l.dtype
@@ -89,7 +115,7 @@ def _power_iter_sharded(a_l, omega, n_iter, stabilize, axis_name):
         return y_l
 
     y_l = lax.fori_loop(0, n_iter, body, y_l)
-    return _chol_qr2(y_l, axis_name, dtype)
+    return _tsqr(y_l, axis_name)
 
 
 def sharded_power_iter_qr(a_l, omega, n_iter, stabilize, axis_name):

@@ -79,7 +79,7 @@ def _demc_sharded_jit(heads, ln_prob_fn, n_steps, gamma, var_epsilon, key,
         step_keys = jax.random.split(key, n_steps)
         # the accept counter becomes device-varying inside the scan body;
         # mark the init value varying over the chains axis to match
-        n_acc0 = lax.pvary(jnp.zeros((), jnp.int32), (axis_name,))
+        n_acc0 = lax.pcast(jnp.zeros((), jnp.int32), (axis_name,), to="varying")
         (heads_l, _lnp_l, n_acc), hist_l = lax.scan(
             step, (heads_l, lnp_l, n_acc0), step_keys,
             unroll=min(4, max(n_steps, 1)),
@@ -114,10 +114,10 @@ def _dream_sharded_jit(heads, ln_prob_fn, n_steps, key, delta_max, n_cr,
         offset = my_shard * n_local
         lnp_l = jax.vmap(ln_prob_fn)(heads_l)
         dtype = heads_l.dtype
-        p_cr0 = lax.pvary(jnp.ones((n_cr,), dtype) / n_cr, (axis_name,))
-        stats0 = lax.pvary(jnp.zeros((n_cr,), dtype), (axis_name,))
-        acc0 = lax.pvary(jnp.zeros((), jnp.int32), (axis_name,))
-        t0 = lax.pvary(jnp.zeros((), jnp.int32), (axis_name,))
+        p_cr0 = lax.pcast(jnp.ones((n_cr,), dtype) / n_cr, (axis_name,), to="varying")
+        stats0 = lax.pcast(jnp.zeros((n_cr,), dtype), (axis_name,), to="varying")
+        acc0 = lax.pcast(jnp.zeros((), jnp.int32), (axis_name,), to="varying")
+        t0 = lax.pcast(jnp.zeros((), jnp.int32), (axis_name,), to="varying")
 
         def step(carry, step_key):
             heads_l, lnp_l, p_cr, jump_dist, n_id, n_acc, t = carry

@@ -47,6 +47,26 @@ def test_sharded_rsvd_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_1), rtol=1e-3)
 
 
+def test_sharded_rsvd_f32_sigma_parity(rng):
+    # Multi-chip f32 sigma parity, same bar as the single-chip Householder
+    # final QR (< 1e-6): on an exactly rank-16 matrix whose spectrum fits
+    # the sketch, RSVD is exact up to arithmetic, so the residual sigma
+    # error isolates the final distributed TSQR's floating-point quality.
+    _require_8()
+    n, m, r = 800, 64, 16
+    uu = np.linalg.qr(rng.standard_normal((n, r)))[0]
+    vv = np.linalg.qr(rng.standard_normal((m, r)))[0]
+    sig = 10.0 * 0.7 ** np.arange(r)
+    a64 = (uu * sig) @ vv.T
+    mesh = make_mesh(8)
+    _u, s32, _vt = sharded_random_svd(
+        jnp.asarray(a64, jnp.float32), 8, 10, 8, key=0, mesh=mesh
+    )
+    s_exact = np.linalg.svd(a64, compute_uv=False)[:8]
+    rel = np.max(np.abs(np.asarray(s32, np.float64) - s_exact) / s_exact)
+    assert rel < 1e-6, rel
+
+
 def test_sharded_rsvd_reconstruction_lowrank(rng):
     _require_8()
     mesh = make_mesh(8)
