@@ -53,30 +53,30 @@ def main():
     a = jax.random.normal(k_data, (N_ROWS, N_COLS), dtype=jnp.float32)
     a.block_until_ready()
 
-    def run():
+    @jax.jit
+    def run(a):
         u, s, vt = random_svd(
             a, RANK, N_ITER, N_OVERSAMPLES, key=k_rsvd, stabilize="always",
             qr_method="cholesky", power_precision=jax.lax.Precision.HIGH,
         )
-        return u, s, vt
+        # On this TPU runtime block_until_ready returns early; real
+        # synchronization is ONE host fetch of a scalar that transitively
+        # depends on every output (fused into the same executable so the
+        # tunnel round-trip is paid exactly once).
+        chk = s[-1] + u[0, 0] + vt[0, 0]
+        return u, s, vt, chk
 
-    def sync(u, s, vt):
-        # On this TPU runtime block_until_ready returns early; force real
-        # synchronization with scalar host fetches that depend on every
-        # output.
-        return float(s[-1]) + float(u[0, 0]) + float(vt[0, 0])
+    def sync(out):
+        return float(out[3])
 
-    # compile + warmup (also warms the sync-slice executables)
-    u, s, vt = run()
-    sync(u, s, vt)
-    u, s, vt = run()
-    sync(u, s, vt)
+    # compile + warmup
+    sync(run(a))
+    sync(run(a))
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        u, s, vt = run()
-        sync(u, s, vt)
+        sync(run(a))
         times.append(time.perf_counter() - t0)
     wall = min(times)
 
