@@ -60,7 +60,16 @@ from corrla_rs_tpu.utils.checkpoint import load_model, save_model
 # Aliases matching the exact pyo3 class names (lib_math_utils_py.rs:179-283)
 PyRbfInterp = RbfInterp
 PyPodI = PodI
-PyDMDc = DMDc
+
+
+class PyDMDc(DMDc):
+    """Binding-parity wrapper: the pyo3 PyDMDc's ``predict`` rolls the
+    dynamics over a whole control sequence (it calls predict_multiple,
+    lib_math_utils_py.rs:273-282). ``DMDc.predict`` keeps the Rust-core
+    single-step semantics (dmd_rom.rs:185-194)."""
+
+    def predict(self, x_0, u_seq, method: str = "dense"):
+        return self.predict_multiple(x_0, u_seq, method=method)
 
 __version__ = "0.1.0"
 

@@ -8,8 +8,9 @@ Represents x_{t+1} = A x_t + B u_t. Parity with reference dmd_rom.rs:20-225:
 - RSVD of both spaces with 12 oversamples (dmd_rom.rs:72,82)
 - A~ from eq. 29, B~ from eq. 30 (dmd_rom.rs:90-106)
 - complex eigendecomposition of A~ (dmd_rom.rs:112-125) — the r x r
-  nonsymmetric eigensolve runs on host LAPACK via jax.pure_callback
-  (TPU has no nonsymmetric eig); everything else is on-device XLA
+  nonsymmetric eigensolve runs eagerly on host LAPACK between the two
+  jitted stages via ops.eig.eig_host (TPU has no nonsymmetric eig, and
+  this runtime rejects pure_callback); everything else is on-device XLA
 - DMD modes from eq. 36 kept as real/imag parts (dmd_rom.rs:128-146)
 - est_a_til reconstructs A = Phi Lambda Phi^+ in complex arithmetic
   (dmd_rom.rs:165-175)
@@ -27,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from corrla_rs_tpu.ops.mat_utils import PRECISION, pinv_diag
+from corrla_rs_tpu.ops.eig import eig_host
+from corrla_rs_tpu.ops.mat_utils import PRECISION, mat_pinv_comp, pinv_diag
 from corrla_rs_tpu.ops.random_svd import random_svd
 from corrla_rs_tpu.utils.prng import as_key
 
@@ -36,25 +38,17 @@ DMD_N_OVERSAMPLES = 12
 
 
 def _pinv_complex_np(x: np.ndarray, rtol: float = 1.0e-10) -> np.ndarray:
-    """Complex Moore-Penrose pinv on host with a RELATIVE rank cutoff.
-
-    Deliberate deviation from the reference's mat_pinv_comp
-    (mat_utils.rs:56-71, additive eps=1e-16): when DMDc is over-
+    """Rank-cutoff complex pinv — deliberate deviation from the reference's
+    additive-eps mat_pinv_comp (mat_utils.rs:56-71): when DMDc is over-
     parameterized (n_modes > numerical rank — routine in practice), the
     junk mode columns of Phi are *near*-zero, and 1/(s + 1e-16) amplifies
     them by ~1e16; the resulting A operator carries O(1)-to-huge garbage
     and rollouts explode (reproduced: rank-2 data with n_modes=6 gives
     rollout error 1e26 under the reference formula, 2e-2 with the cutoff).
-    Zeroing singular values below rtol * s_max is the standard
-    rank-revealing pinv and keeps exact parity on full-rank fits.
-
-    Runs on host LAPACK: the matrix is (n_x, r) with tiny r, and TPU
-    runtimes (this one included) do not support complex dtypes on device.
+    The parity-exact reference semantics remain available as
+    ``mat_utils.mat_pinv_comp(x, mode="reference")``.
     """
-    u, s, vh = np.linalg.svd(x, full_matrices=False)
-    cutoff = rtol * (s[0] if s.size else 1.0)
-    s_inv = np.where(s > cutoff, 1.0 / np.maximum(s, 1e-300), 0.0)
-    return (vh.conj().T * s_inv[None, :]) @ u.conj().T
+    return mat_pinv_comp(x, eps=rtol, mode="cutoff")
 
 
 @functools.partial(jax.jit, static_argnames=("n_x", "n_u", "n_modes", "n_iters"))
@@ -160,12 +154,12 @@ class DMDc:
         self.dt_snapshots = float(dt)
         # Stage 1 on device; the tiny r x r nonsymmetric eigensolve on host
         # LAPACK (TPU/XLA has no nonsymmetric eig, and this environment's
-        # PJRT plugin rejects pure_callback — so the eig runs eagerly
+        # PJRT plugin rejects pure_callback — ops.eig.eig_host runs eagerly
         # between the two jitted stages); stage 2 back on device.
         self._A, self._B, tmp_modes_scale = _dmdc_reduce_kernel(
             x, u, self.n_x, self.n_u, self.n_modes, int(n_iters), as_key(key)
         )
-        lam, w = np.linalg.eig(np.asarray(self._A))
+        lam, w = eig_host(self._A)
         # lambdas stay a host numpy array: TPU devices have no complex dtype
         self.lambdas = lam
         self.modes_re, self.modes_im = _dmdc_modes_kernel(

@@ -108,6 +108,36 @@ def mat_linspace(start: float, end: float, n_steps: int, dtype=None) -> jnp.ndar
     return (jnp.arange(n_steps, dtype=dtype or jnp.result_type(float)) * delta)[:, None]
 
 
+def mat_pinv_comp(x, eps: float = 1.0e-16, mode: str = "reference"):
+    """Complex Moore-Penrose pseudoinverse (host numpy).
+
+    Runs on host LAPACK: complex device dtypes are unsupported on some TPU
+    runtimes (this environment's included), and every caller (DMDc mode
+    algebra) needs it only for tiny (n, r) matrices.
+
+    mode="reference": parity with reference mat_utils.rs:56-71 — inverts
+      every singular value as ``1 / (s + eps)`` with additive eps and no
+      rank cutoff. Exact reference semantics, including its blow-up on
+      rank-deficient inputs (junk directions amplified by ~1/eps).
+    mode="cutoff": rank-revealing variant — singular values below
+      ``eps * s_max`` are zeroed (here eps is a RELATIVE tolerance, e.g.
+      1e-10). This is what DMDc uses; see models/dmd.py for the measured
+      failure of the reference formula on over-parameterized fits.
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    u, s, vh = np.linalg.svd(x, full_matrices=False)
+    if mode == "reference":
+        s_inv = 1.0 / (s + eps)
+    elif mode == "cutoff":
+        cutoff = eps * (s[0] if s.size else 1.0)
+        s_inv = np.where(s > cutoff, 1.0 / np.maximum(s, 1e-300), 0.0)
+    else:
+        raise ValueError(f"unknown mode {mode!r} (use 'reference'|'cutoff')")
+    return (vh.conj().T * s_inv[None, :]) @ u.conj().T
+
+
 def complex_from_parts(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     """Join real/imag parts into a complex matrix. Reference mat_utils.rs:316-337."""
     return jnp.asarray(re) + 1j * jnp.asarray(im)

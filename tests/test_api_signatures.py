@@ -52,6 +52,15 @@ def test_class_constructor_signatures():
     assert _positional_params(crt.PyDMDc.__init__, 5) == [
         "self", "x_data", "u_data", "n_modes", "n_iters"
     ]
+    # Binding parity: PyDMDc.predict is the multi-step rollout
+    # (lib_math_utils_py.rs:273-282), unlike DMDc.predict (single step,
+    # dmd_rom.rs:185-194).
+    assert _positional_params(crt.PyDMDc.predict, 3) == [
+        "self", "x_0", "u_seq"
+    ]
+    assert _positional_params(crt.DMDc.predict, 3) == [
+        "self", "x_0", "u_input"
+    ]
 
 
 def test_shim_module():
