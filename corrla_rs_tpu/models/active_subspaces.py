@@ -30,11 +30,13 @@ from corrla_rs_tpu.ops.knn import knn
 from corrla_rs_tpu.ops.mat_utils import PRECISION, sort_evd
 from corrla_rs_tpu.ops.random_svd import random_svd
 from corrla_rs_tpu.ops.stats_corr import jac_from_lin, jac_from_quad, quad_fit
+from corrla_rs_tpu.utils.config import ActiveSsConfig
 from corrla_rs_tpu.utils.prng import as_key
 
 # Reference defaults for fit_svd (active_subspaces.rs:243).
-ASS_N_ITER = 8
-ASS_N_OVERSAMPLES = 10
+# Single source of truth: utils.config.
+ASS_N_ITER = ActiveSsConfig().n_iter
+ASS_N_OVERSAMPLES = ActiveSsConfig().n_oversamples
 
 
 @functools.partial(

@@ -31,10 +31,12 @@ from jax import lax
 from corrla_rs_tpu.ops.eig import eig_host
 from corrla_rs_tpu.ops.mat_utils import PRECISION, mat_pinv_comp, pinv_diag
 from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.config import DmdConfig
 from corrla_rs_tpu.utils.prng import as_key
 
 # Reference default oversamples for both RSVDs (dmd_rom.rs:72,82).
-DMD_N_OVERSAMPLES = 12
+# Single source of truth: utils.config.
+DMD_N_OVERSAMPLES = DmdConfig().n_oversamples
 
 
 def _pinv_complex_np(x: np.ndarray, rtol: float = 1.0e-10) -> np.ndarray:
@@ -51,8 +53,12 @@ def _pinv_complex_np(x: np.ndarray, rtol: float = 1.0e-10) -> np.ndarray:
     return mat_pinv_comp(x, eps=rtol, mode="cutoff")
 
 
-@functools.partial(jax.jit, static_argnames=("n_x", "n_u", "n_modes", "n_iters"))
-def _dmdc_reduce_kernel(x_data, u_data, n_x, n_u, n_modes, n_iters, key):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_x", "n_u", "n_modes", "n_iters", "n_oversamples"),
+)
+def _dmdc_reduce_kernel(x_data, u_data, n_x, n_u, n_modes, n_iters,
+                        n_oversamples, key):
     """On-device stage 1: both RSVDs + reduced operators (eqs. 29-30)."""
     omega = jnp.concatenate([x_data, u_data], axis=0)
     x_in = omega[:, :-1]            # input space (state + control)
@@ -60,14 +66,14 @@ def _dmdc_reduce_kernel(x_data, u_data, n_x, n_u, n_modes, n_iters, key):
 
     k1, k2 = jax.random.split(key)
     u_til, s_til, vt_til = random_svd(
-        x_in, n_modes, n_iters, DMD_N_OVERSAMPLES, key=k1
+        x_in, n_modes, n_iters, n_oversamples, key=k1
     )
     v_til = vt_til.T                # ((n_t - 1), r)
     u_til_1 = u_til[:n_x, :]
     u_til_2 = u_til[n_x : n_x + n_u, :]
 
     u_hat, _s_hat, _vt_hat = random_svd(
-        y_out, n_modes, n_iters, DMD_N_OVERSAMPLES, key=k2
+        y_out, n_modes, n_iters, n_oversamples, key=k2
     )
 
     s_til_diag = jnp.diag(s_til)
@@ -135,7 +141,9 @@ class DMDc:
     """
 
     def __init__(self, x_data, u_data, n_modes: int, n_iters: int,
-                 dt: float = 1.0, key=0, mesh=None):
+                 dt: float | None = None, key=0, mesh=None,
+                 config: DmdConfig | None = None):
+        cfg = config or DmdConfig()
         x = jnp.asarray(x_data)
         u = jnp.asarray(u_data)
         if mesh is not None:
@@ -145,19 +153,27 @@ class DMDc:
             # axis (n_t) is small and stays replicated.
             from corrla_rs_tpu.parallel.mesh import shard_rows
 
-            if x.shape[0] % mesh.devices.size == 0:
-                x = shard_rows(x, mesh)
+            if x.shape[0] % mesh.devices.size != 0:
+                raise ValueError(
+                    f"DMDc mesh= requires the state dimension "
+                    f"({x.shape[0]}) to divide the mesh size "
+                    f"({mesh.devices.size}); pad the snapshots or drop "
+                    "mesh= (silently falling back to one chip would hide "
+                    "a large performance cliff)"
+                )
+            x = shard_rows(x, mesh)
         self.n_snapshots = x.shape[1]
         self.n_x = x.shape[0]
         self.n_u = u.shape[0]
         self.n_modes = int(n_modes)
-        self.dt_snapshots = float(dt)
+        self.dt_snapshots = float(dt if dt is not None else cfg.dt)
         # Stage 1 on device; the tiny r x r nonsymmetric eigensolve on host
         # LAPACK (TPU/XLA has no nonsymmetric eig, and this environment's
         # PJRT plugin rejects pure_callback — ops.eig.eig_host runs eagerly
         # between the two jitted stages); stage 2 back on device.
         self._A, self._B, tmp_modes_scale = _dmdc_reduce_kernel(
-            x, u, self.n_x, self.n_u, self.n_modes, int(n_iters), as_key(key)
+            x, u, self.n_x, self.n_u, self.n_modes, int(n_iters),
+            int(cfg.n_oversamples), as_key(key),
         )
         lam, w = eig_host(self._A)
         # lambdas stay a host numpy array: TPU devices have no complex dtype

@@ -19,19 +19,22 @@ import jax.numpy as jnp
 
 from corrla_rs_tpu.ops.mat_utils import PRECISION, col_means
 from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.config import PcaConfig
 from corrla_rs_tpu.utils.prng import as_key
 
 # Reference defaults (pca_rsvd.rs:65-66): 20 power iterations,
-# min(n_dim, 10) oversamples.
-PCA_N_ITER = 20
-PCA_MAX_OVERSAMPLES = 10
+# min(n_dim, 10) oversamples. Single source of truth: utils.config.
+PCA_N_ITER = PcaConfig().n_iter
+PCA_MAX_OVERSAMPLES = PcaConfig().max_oversamples
 
 
-@functools.partial(jax.jit, static_argnames=("rank", "n_iter", "stabilize"))
-def _pca_fit_kernel(x, rank, n_iter, key, stabilize):
+@functools.partial(
+    jax.jit, static_argnames=("rank", "n_iter", "max_oversamples", "stabilize")
+)
+def _pca_fit_kernel(x, rank, n_iter, max_oversamples, key, stabilize):
     means = col_means(x)
     cx = x - means
-    n_oversamples = min(x.shape[1], PCA_MAX_OVERSAMPLES)
+    n_oversamples = min(x.shape[1], max_oversamples)
     _u, s, vt = random_svd(
         cx, rank, n_iter, n_oversamples, key=key, stabilize=stabilize
     )
@@ -47,11 +50,14 @@ class PcaRsvd:
     parallel.sharded_rsvd.
     """
 
-    def __init__(self, x_mat, rank: int, key=0, n_iter: int = PCA_N_ITER,
-                 stabilize: str = "auto", mesh=None):
+    def __init__(self, x_mat, rank: int, key=0, n_iter: int | None = None,
+                 stabilize: str = "auto", mesh=None,
+                 config: PcaConfig | None = None):
+        cfg = config or PcaConfig()
         self.pca_rank = int(rank)
-        self._n_iter = int(n_iter)
-        self._stabilize = stabilize
+        self._n_iter = int(n_iter if n_iter is not None else cfg.n_iter)
+        self._max_oversamples = int(cfg.max_oversamples)
+        self._stabilize = stabilize if config is None else cfg.stabilize
         self._mesh = mesh
         self.fit(x_mat, rank, key=key)
 
@@ -66,7 +72,7 @@ class PcaRsvd:
 
             x = shard_rows(x, self._mesh)
             means = col_means(x)
-            n_oversamples = min(x.shape[1], PCA_MAX_OVERSAMPLES)
+            n_oversamples = min(x.shape[1], self._max_oversamples)
             _u, s, vt = sharded_random_svd(
                 x - means, self.pca_rank, self._n_iter, n_oversamples,
                 key=as_key(key), mesh=self._mesh,
@@ -74,7 +80,8 @@ class PcaRsvd:
             self.means, self.pca_s, self.components_ = means, s, vt
             return self
         self.means, self.pca_s, self.components_ = _pca_fit_kernel(
-            x, self.pca_rank, self._n_iter, as_key(key), self._stabilize
+            x, self.pca_rank, self._n_iter, self._max_oversamples,
+            as_key(key), self._stabilize,
         )
         return self
 

@@ -25,17 +25,19 @@ import jax.numpy as jnp
 from corrla_rs_tpu.ops.interp import rbf_fit, rbf_predict
 from corrla_rs_tpu.ops.mat_utils import PRECISION, pinv
 from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.config import PodConfig
 from corrla_rs_tpu.utils.prng import as_key
 
 # Reference defaults (pod_rom.rs:56): 10 power iterations, 10 oversamples.
-POD_N_ITER = 10
-POD_N_OVERSAMPLES = 10
+# Single source of truth: utils.config.
+POD_N_ITER = PodConfig().n_iter
+POD_N_OVERSAMPLES = PodConfig().n_oversamples
 
 
-@functools.partial(jax.jit, static_argnames=("n_modes",))
-def _pod_fit_kernel(x, t, n_modes, key):
+@functools.partial(jax.jit, static_argnames=("n_modes", "n_iter", "n_oversamples"))
+def _pod_fit_kernel(x, t, n_modes, n_iter, n_oversamples, key):
     # modes = V^T of RSVD(snapshots), transposed -> (n_points, n_modes)
-    _u, _s, vt = random_svd(x, n_modes, POD_N_ITER, POD_N_OVERSAMPLES, key=key)
+    _u, _s, vt = random_svd(x, n_modes, n_iter, n_oversamples, key=key)
     modes = vt.T
     # optimal weights per snapshot: one batched matmul instead of the
     # reference's per-row loop (pod_rom.rs:66-73)
@@ -57,7 +59,11 @@ class PodI:
     is one psum-reduced matmul.
     """
 
-    def __init__(self, x_data, t, n_modes: int, key=0, mesh=None):
+    def __init__(self, x_data, t, n_modes: int, key=0, mesh=None,
+                 config: PodConfig | None = None):
+        cfg = config or PodConfig()
+        self._n_iter = int(cfg.n_iter)
+        self._n_oversamples = int(cfg.n_oversamples)
         self._mesh = mesh
         self.fit(x_data, t, n_modes, key=key)
 
@@ -74,7 +80,7 @@ class PodI:
 
             # modes = left singular vectors of x^T (n_points tall, sharded)
             modes, _s, _vt = sharded_random_svd(
-                x.T, self.n_modes, POD_N_ITER, POD_N_OVERSAMPLES,
+                x.T, self.n_modes, self._n_iter, self._n_oversamples,
                 key=as_key(key), mesh=self._mesh,
             )
             self.modes = modes  # (n_points, n_modes) row-sharded
@@ -85,7 +91,7 @@ class PodI:
             self._rbf_coeffs = rbf_fit(t, weights, "linear", 1.0, 1)
             return self
         self.modes, self.mode_weights, self._rbf_coeffs = _pod_fit_kernel(
-            x, t, self.n_modes, as_key(key)
+            x, t, self.n_modes, self._n_iter, self._n_oversamples, as_key(key)
         )
         return self
 

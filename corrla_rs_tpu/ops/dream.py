@@ -32,9 +32,16 @@ import jax.numpy as jnp
 from jax import lax
 
 from corrla_rs_tpu.ops.samplers import pick_others_batched
+from corrla_rs_tpu.utils.config import DreamConfig
 from corrla_rs_tpu.utils.prng import as_key
 
-__all__ = ["DreamState", "dream_run", "DreamSampler", "outlier_reset"]
+__all__ = [
+    "DreamState", "make_dream_state", "dream_run", "DreamSampler",
+    "outlier_reset",
+]
+
+# Library-wide defaults (utils.config is the single source of truth).
+_CFG = DreamConfig()
 
 
 class DreamState(NamedTuple):
@@ -119,30 +126,13 @@ def _dream_generation(state: DreamState, ln_prob_fn, delta_max, n_cr,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ln_prob_fn", "n_steps", "delta_max", "n_cr", "prop_fixup_fn",
-        "n_adapt", "unroll",
-    ),
-)
-def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
-              delta_max: int = 3, n_cr: int = 3, gamma_jump_prob: float = 0.2,
-              b: float = 0.05, b_star: float = 1e-6, n_adapt: int = 0,
-              prop_fixup_fn=None, unroll: int = 4):
-    """Run n_steps DREAM generations; returns (history, final_state).
-
-    history: (n_steps, n_chains, d). ``n_adapt``: generations of crossover
-    adaptation (0 = fixed uniform CR probabilities; for a valid stationary
-    chain discard at least the first n_adapt generations).
-    """
+def make_dream_state(init_heads, ln_prob_fn: Callable, n_cr: int = _CFG.n_cr,
+                     key=0) -> DreamState:
+    """Fresh DREAM state: uniform CR probabilities, zeroed adaptation
+    statistics, generation counter at 0."""
     heads = jnp.asarray(init_heads)
-    n_chains = heads.shape[0]
-    assert n_chains >= 2 * delta_max + 1, (
-        "DREAM needs n_chains >= 2*delta_max + 1"
-    )
-    lnp0 = jax.vmap(ln_prob_fn)(heads)
-    state = DreamState(
+    lnp0 = jax.jit(jax.vmap(ln_prob_fn))(heads)
+    return DreamState(
         heads, lnp0, as_key(key),
         jnp.ones((n_cr,), heads.dtype) / n_cr,
         jnp.zeros((n_cr,), heads.dtype),
@@ -151,6 +141,16 @@ def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
         jnp.zeros((), jnp.int32),
     )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ln_prob_fn", "n_steps", "delta_max", "n_cr", "prop_fixup_fn",
+        "n_adapt", "unroll",
+    ),
+)
+def _dream_scan(state: DreamState, ln_prob_fn, n_steps, delta_max, n_cr,
+                gamma_jump_prob, b, b_star, n_adapt, prop_fixup_fn, unroll):
     def body(state, _):
         state = _dream_generation(
             state, ln_prob_fn, delta_max, n_cr, gamma_jump_prob, b, b_star,
@@ -160,9 +160,41 @@ def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
 
     # unroll: amortize the per-iteration scan overhead (~200 us/step on
     # this TPU runtime) across several generations per loop trip
-    state, history = lax.scan(
+    return lax.scan(
         body, state, None, length=n_steps,
         unroll=min(unroll, max(n_steps, 1)),
+    )
+
+
+def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
+              delta_max: int = _CFG.delta_max, n_cr: int = _CFG.n_cr,
+              gamma_jump_prob: float = _CFG.gamma_jump_prob,
+              b: float = _CFG.b, b_star: float = _CFG.b_star,
+              n_adapt: int = _CFG.n_adapt, prop_fixup_fn=None,
+              unroll: int = 4, init_state: DreamState | None = None):
+    """Run n_steps DREAM generations; returns (history, final_state).
+
+    history: (n_steps, n_chains, d). ``n_adapt``: generations of crossover
+    adaptation (0 = fixed uniform CR probabilities; for a valid stationary
+    chain discard at least the first n_adapt generations).
+
+    ``init_state``: resume from a previous run's final ``DreamState`` —
+    heads, adapted CR probabilities, jump statistics, and the generation
+    counter all carry over (``init_heads`` is ignored); the PRNG stream is
+    re-seeded from ``key``. This is how DreamSampler threads adaptation
+    across blocks instead of restarting it.
+    """
+    if init_state is None:
+        state = make_dream_state(init_heads, ln_prob_fn, n_cr=n_cr, key=key)
+    else:
+        state = init_state._replace(key=as_key(key))
+    n_chains = state.heads.shape[0]
+    assert n_chains >= 2 * delta_max + 1, (
+        "DREAM needs n_chains >= 2*delta_max + 1"
+    )
+    state, history = _dream_scan(
+        state, ln_prob_fn, int(n_steps), delta_max, n_cr, gamma_jump_prob,
+        b, b_star, n_adapt, prop_fixup_fn, unroll,
     )
     return history, state
 
@@ -194,40 +226,54 @@ class DreamSampler:
     DREAM practice; never applied after burn-in, so the stationary chain
     remains a valid MCMC)."""
 
-    def __init__(self, ln_prob_fn: Callable, init_chains, delta_max: int = 3,
-                 n_cr: int = 3, gamma_jump_prob: float = 0.2, b: float = 0.05,
-                 b_star: float = 1e-6, n_adapt: int = 0,
+    def __init__(self, ln_prob_fn: Callable, init_chains,
+                 delta_max: int = _CFG.delta_max, n_cr: int = _CFG.n_cr,
+                 gamma_jump_prob: float = _CFG.gamma_jump_prob,
+                 b: float = _CFG.b, b_star: float = _CFG.b_star,
+                 n_adapt: int = _CFG.n_adapt,
                  prop_fixup_fn: Callable | None = None, key=0,
-                 outlier_correct: bool = False, outlier_every: int = 100):
+                 outlier_correct: bool = False, outlier_every: int = 100,
+                 config: DreamConfig | None = None):
         heads = jnp.asarray(init_chains)
         self.n_chains, self.ndim = heads.shape
         self.ln_prob_fn = ln_prob_fn
-        self.cfg = dict(
+        cfg = config or DreamConfig(
             delta_max=delta_max, n_cr=n_cr, gamma_jump_prob=gamma_jump_prob,
             b=b, b_star=b_star, n_adapt=n_adapt,
+        )
+        self.cfg = dict(
+            delta_max=cfg.delta_max, n_cr=cfg.n_cr,
+            gamma_jump_prob=cfg.gamma_jump_prob, b=cfg.b, b_star=cfg.b_star,
+            n_adapt=cfg.n_adapt,
         )
         self.prop_fixup_fn = prop_fixup_fn
         self.outlier_correct = bool(outlier_correct)
         self.outlier_every = int(outlier_every)
         self._key = as_key(key)
         self._heads = heads
+        # full DreamState threads across blocks: the adapted p_cr, jump
+        # statistics and the generation counter persist, so adaptation
+        # continues across _run_block calls and FREEZES (rather than
+        # resetting to uniform) once state.t reaches n_adapt
+        self._state: DreamState | None = None
         self._history = [heads[None, :, :]]
         self.n_accept = 0
         self.n_total = 0
         self.n_outlier_resets = 0
         self._gens = 0  # generations drawn so far (adaptation is global)
 
-    def _run_block(self, block: int, n_adapt_left: int):
+    def _run_block(self, block: int):
         self._key, run_key = jax.random.split(self._key)
-        cfg = dict(self.cfg)
-        cfg["n_adapt"] = n_adapt_left
+        prev_accepts = int(self._state.n_accept) if self._state is not None else 0
         history, state = dream_run(
             self._heads, self.ln_prob_fn, block, key=run_key,
-            prop_fixup_fn=self.prop_fixup_fn, **cfg,
+            prop_fixup_fn=self.prop_fixup_fn, init_state=self._state,
+            **self.cfg,
         )
+        self._state = state
         self._heads = state.heads
         self._history.append(history)
-        self.n_accept += int(state.n_accept)
+        self.n_accept += int(state.n_accept) - prev_accepts
         self.n_total += block * self.n_chains
         self._gens += block
 
@@ -240,11 +286,16 @@ class DreamSampler:
                 block = min(self.outlier_every, n - done, adapt_left)
             else:
                 block = n - done
-            self._run_block(block, adapt_left)
+            self._run_block(block)
             done += block
             if self.outlier_correct and self._gens <= self.cfg["n_adapt"]:
-                lnp = jax.vmap(self.ln_prob_fn)(self._heads)
-                self._heads, _lnp, n_reset = outlier_reset(self._heads, lnp)
+                new_heads, new_lnp, n_reset = outlier_reset(
+                    self._state.heads, self._state.head_lnp
+                )
+                self._state = self._state._replace(
+                    heads=new_heads, head_lnp=new_lnp
+                )
+                self._heads = new_heads
                 self.n_outlier_resets += int(n_reset)
         return self
 

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import gammaln
 
+from corrla_rs_tpu.utils.config import DemcConfig, DirichletSamplerConfig
 from corrla_rs_tpu.utils.prng import as_key
+
+# Library-wide defaults (utils.config is the single source of truth).
+_DEMC_CFG = DemcConfig()
+_DIRICHLET_CFG = DirichletSamplerConfig()
 
 __all__ = [
     "constr_dirichlet_sample",
@@ -110,8 +115,10 @@ def _rejection_fill(key, bounds, alphas, n_samples, max_zshots, chunk_size,
     return out, count
 
 
-def constr_dirichlet_sample(bounds, n_samples: int, max_zshots: int = 500,
-                            chunk_size: int = 20000, c_scale: float = 1.0,
+def constr_dirichlet_sample(bounds, n_samples: int,
+                            max_zshots: int = _DIRICHLET_CFG.max_zshots,
+                            chunk_size: int = _DIRICHLET_CFG.chunk_size,
+                            c_scale: float = _DIRICHLET_CFG.c_scale,
                             alphas=None, key=0, backend: str = "device"):
     """Rejection-sample the bounded simplex sum(x) = c_scale.
 
@@ -320,12 +327,16 @@ class DeMcSampler:
     sample to a scalar log-probability (jit-traceable).
     """
 
-    def __init__(self, ln_prob_fn: Callable, init_chains, gamma: float,
-                 var_epsilon: float, prop_fixup_fn: Callable | None = None,
-                 key=0):
+    def __init__(self, ln_prob_fn: Callable, init_chains,
+                 gamma: float = _DEMC_CFG.gamma,
+                 var_epsilon: float = _DEMC_CFG.var_epsilon,
+                 prop_fixup_fn: Callable | None = None,
+                 key=0, config: DemcConfig | None = None):
         heads = jnp.asarray(init_chains)
         assert heads.ndim == 2 and heads.shape[0] >= 3, "need >= 3 chains"
         self.n_chains, self.ndim = heads.shape
+        if config is not None:
+            gamma, var_epsilon = config.gamma, config.var_epsilon
         self.gamma = float(gamma)
         self.var_epsilon = float(var_epsilon)
         self.ln_prob_fn = ln_prob_fn

@@ -28,6 +28,7 @@ __all__ = [
     "CHAINS_AXIS",
     "init_distributed",
     "make_mesh",
+    "make_mesh_2d",
     "row_sharding",
     "replicated_sharding",
     "shard_rows",
@@ -47,6 +48,28 @@ def make_mesh(n_devices: int | None = None, axis_name: str = ROWS_AXIS) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def make_mesh_2d(config=None, rows: int | None = None,
+                 chains: int | None = None) -> Mesh:
+    """2-D ("rows", "chains") mesh from a utils.config.MeshConfig (or
+    explicit axis sizes). rows * chains must not exceed the device count;
+    axis names follow config.axis_names."""
+    from corrla_rs_tpu.utils.config import MeshConfig
+
+    cfg = config or MeshConfig(
+        rows=rows or 1, chains=chains or 1
+    )
+    rows = rows if rows is not None else cfg.rows
+    chains = chains if chains is not None else cfg.chains
+    devs = jax.devices()
+    if rows * chains > len(devs):
+        raise ValueError(
+            f"mesh {rows}x{chains} needs {rows * chains} devices, "
+            f"have {len(devs)}"
+        )
+    grid = np.array(devs[: rows * chains]).reshape(rows, chains)
+    return Mesh(grid, tuple(cfg.axis_names))
 
 
 def row_sharding(mesh: Mesh, axis_name: str | None = None) -> NamedSharding:

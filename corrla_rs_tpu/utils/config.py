@@ -1,8 +1,14 @@
-"""Frozen configuration dataclasses.
+"""Frozen configuration dataclasses — the library's single source of
+hyperparameter defaults.
 
 The reference scatters hardcoded hyperparameters at call sites (SURVEY.md
 §5 "Config/flag system: none"; §2.4 item 9 lists them). These dataclasses
-centralize the same defaults, env-independent:
+centralize the same defaults, env-independent, and the library CONSUMES
+them: models.pca/pod/dmd/active_subspaces derive their module constants
+from here and accept ``config=`` overrides; ops.dream and ops.samplers
+take their signature defaults from DreamConfig / DemcConfig /
+DirichletSamplerConfig; parallel.mesh.make_mesh_2d builds meshes from
+MeshConfig.
 
 - PCA: 20 power iterations, min(n_dim, 10) oversamples (pca_rsvd.rs:65-66)
 - POD: 10 iterations, 10 oversamples (pod_rom.rs:56)
@@ -20,15 +26,17 @@ from dataclasses import dataclass
 class RsvdConfig:
     n_iter: int = 10
     n_oversamples: int = 10
-    stabilize: str = "reference"   # or "always" (stronger in f32)
-    qr_method: str = "householder"  # or "cholesky" (TPU fast path)
+    # 'auto' resolves per-dtype: 'always' for f32, 'reference' for f64
+    # (see ops.random_svd.power_iter)
+    stabilize: str = "auto"
+    qr_method: str = "auto"   # 'householder' (safest) / 'cholesky' (TPU fast)
 
 
 @dataclass(frozen=True)
 class PcaConfig:
     n_iter: int = 20
     max_oversamples: int = 10
-    stabilize: str = "reference"
+    stabilize: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -60,6 +60,48 @@ def test_dream_adapts_crossover():
     assert np.abs(p_cr - 1.0 / 3.0).max() > 1e-3
 
 
+def test_dream_adaptation_threads_across_blocks():
+    # ADVICE round 1 (medium): DreamSampler used to restart adaptation at
+    # every block boundary, so the adapted p_cr was lost after burn-in.
+    # Now the full DreamState persists: t accumulates, p_cr adapts across
+    # blocks, and freezes (not resets) once t >= n_adapt.
+    def lnp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    heads0 = jnp.asarray(np.random.default_rng(2).standard_normal((12, 3)))
+    s = DreamSampler(lnp, heads0, n_adapt=400, key=5, outlier_correct=True,
+                     outlier_every=100)
+    s.sample_mcmc(400)  # burn-in runs in 100-gen blocks (outlier window)
+    assert int(s._state.t) == 400
+    p_adapted = np.asarray(s._state.p_cr)
+    # adaptation survived the block boundaries (moved off uniform)
+    assert np.abs(p_adapted - 1.0 / 3.0).max() > 1e-3
+    s.sample_mcmc(300)  # stationary phase: adapted p_cr must be FROZEN
+    assert int(s._state.t) == 700
+    np.testing.assert_array_equal(np.asarray(s._state.p_cr), p_adapted)
+    # accept accounting stayed consistent through state threading
+    assert 0.0 < s.accept_ratio() <= 1.0
+    assert s.n_total == 700 * 12
+
+
+def test_dream_run_resume_from_state():
+    from corrla_rs_tpu.ops.dream import make_dream_state
+
+    def lnp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    heads0 = jnp.asarray(np.random.default_rng(3).standard_normal((10, 2)))
+    # one 200-gen run vs 2 x 100-gen runs resumed via init_state: the
+    # adaptation statistics must carry (t, n_id counts keep growing)
+    _h1, s_split = dream_run(heads0, lnp, 100, key=7, n_adapt=150)
+    _h2, s_split = dream_run(None, lnp, 100, key=8, n_adapt=150,
+                             init_state=s_split)
+    assert int(s_split.t) == 200
+    assert float(np.asarray(s_split.n_id).sum()) == 200 * 10
+    # p_cr frozen after n_adapt inside the second block
+    assert abs(float(jnp.sum(s_split.p_cr)) - 1.0) < 1e-6
+
+
 def test_dream_dirichlet_simplex():
     seeds = constr_dirichlet_sample(BOUNDS, 8, 500, 20000, 1.0, key=3)
     lnp = ln_like_sum(
