@@ -212,6 +212,32 @@ def test_sharded_dmdc_matches_single():
     snaps = (np.sin(xg[:, None] + 0.2 * tg[None, :]) * u).astype(np.float32)
     m1 = DMDc(jnp.asarray(snaps), jnp.asarray(u), 8, 20, key=3)
     m2 = DMDc(jnp.asarray(snaps), jnp.asarray(u), 8, 20, key=3, mesh=mesh)
+    # Tighter-than-rollout operator checks (VERDICT r1 item 7). Raw A~ is
+    # basis-dependent: the fixture is effectively rank ~4, so the sketch's
+    # junk directions are arbitrary and rotate under the sharded reduction
+    # order. Compare basis-INVARIANT quantities instead:
+    # (a) the dominant DMD eigenvalues (the fixture's growing oscillation —
+    # the conjugate pair; trailing lambdas live in the junk subspace),
+    lam1 = np.asarray(m1.lambdas)
+    lam2 = np.asarray(m2.lambdas)
+    top1 = lam1[np.argsort(-np.abs(lam1))][:2]
+    top2 = lam2[np.argsort(-np.abs(lam2))][:2]
+    np.testing.assert_allclose(
+        np.sort_complex(top2), np.sort_complex(top1), rtol=1e-4
+    )
+    # (b) one application of the full-state (A, B) operators to a state ON
+    # the data manifold (a mid-trajectory snapshot) — no rollout
+    # compounding; the operators are only identifiable there (a random
+    # state excites the junk subspace, where any two fits legitimately
+    # disagree).
+    v = jnp.asarray(snaps[:, 12:13])
+    w = jnp.asarray(u[:, 12:13])
+    one1 = np.asarray(m1.predict(v, w))
+    one2 = np.asarray(m2.predict(v, w))
+    scale = np.abs(one1).max()
+    np.testing.assert_allclose(one2, one1, atol=2e-3 * scale)
+    # and it matches the actual next snapshot (physics check, no rollout)
+    np.testing.assert_allclose(one1[:, 0], snaps[:, 13], atol=5e-2)
     x0 = jnp.asarray(snaps[:, 0:1])
     p1 = m1.predict_multiple(x0, jnp.asarray(u))
     p2 = m2.predict_multiple(x0, jnp.asarray(u))
@@ -222,3 +248,14 @@ def test_sharded_dmdc_matches_single():
     np.testing.assert_allclose(
         np.asarray(p2)[:, 19], snaps[:, 20], atol=5e-2
     )
+
+
+def test_sharded_dmdc_rejects_nondivisible():
+    from corrla_rs_tpu import DMDc
+
+    _require_8()
+    mesh = make_mesh(8)
+    snaps = np.random.default_rng(0).standard_normal((30, 10)).astype(np.float32)
+    u = np.ones((1, 10), np.float32)
+    with pytest.raises(ValueError, match="divide the mesh"):
+        DMDc(jnp.asarray(snaps), jnp.asarray(u), 4, 8, mesh=mesh)
