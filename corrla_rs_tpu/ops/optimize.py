@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.optimize import minimize as _jsp_minimize
 
+from corrla_rs_tpu.utils.log import get_logger
 from corrla_rs_tpu.utils.prng import as_key
 
 __all__ = ["penalized_cost", "mlefit", "mlefit_ps_fallback", "particle_swarm"]
@@ -151,6 +152,14 @@ def mlefit_ps_fallback(cost_fn: Callable, p_init, p_bounds, method: int = 2,
         p = mlefit(cost_fn, p_init, p_bounds, method, key)
         if bool(jnp.all(jnp.isfinite(p))) and bool(jnp.isfinite(cost(p))):
             return p
-    except Exception:
-        pass
+    except (FloatingPointError, ValueError, ArithmeticError) as exc:
+        # Numeric optimizer failure -> retry with particle swarm (parity
+        # with the reference's fallback). Programming errors in the user's
+        # cost function (shape mismatches, typos -> TypeError/TracerError/
+        # etc.) propagate instead of surfacing as a slow, possibly wrong
+        # PS fit.
+        get_logger().warning(
+            "mlefit(method=%d) failed numerically (%s); retrying with "
+            "particle swarm", method, exc,
+        )
     return particle_swarm(cost, p_bounds, as_key(key))

@@ -44,6 +44,7 @@ __all__ = [
     "ln_like_sum",
     "DeMcSampler",
     "demc_run",
+    "demc_run_serial",
     "demc_step",
 ]
 
@@ -318,6 +319,66 @@ def demc_run(init_heads, ln_prob_fn, n_steps: int, gamma: float,
     return history, state
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ln_prob_fn", "n_steps", "prop_fixup_fn"),
+)
+def demc_run_serial(init_heads, ln_prob_fn, n_steps: int, gamma: float,
+                    var_epsilon: float, key, prop_fixup_fn=None):
+    """Serial-update DEMC: within a generation, chain c's proposal reads
+    the heads of chains < c ALREADY UPDATED this generation — exact
+    semantics of the reference's serial ``sample_mcmc``
+    (space_samplers.rs:361-374), as opposed to the generation-synchronous
+    ``demc_run`` (= the reference's ``sample_mcmc_par``). Both are valid
+    DEMC; this mode exists for declared-behavior parity. The inner chain
+    loop is inherently sequential (a lax.scan over chains), so throughput
+    is O(n_chains) dispatches per generation — use ``demc_run`` for speed.
+    """
+    heads = jnp.asarray(init_heads)
+    n_chains, ndim = heads.shape
+    dtype = heads.dtype
+    lnp0 = jax.vmap(ln_prob_fn)(heads)
+    state = DemcState(
+        heads, lnp0, as_key(key),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+
+    def chain_body(carry, inp):
+        heads, lnps, n_acc = carry
+        c, ck = inp
+        k_pick, k_jit, k_acc = jax.random.split(ck, 3)
+        a, b = _pick_two_others(k_pick, c, n_chains)
+        delta = heads[a] - heads[b]
+        jitter = jax.random.uniform(k_jit, (ndim,), dtype, 0.0, var_epsilon)
+        prop = heads[c] + gamma * delta + jitter
+        if prop_fixup_fn is not None:
+            prop = prop_fixup_fn(prop)
+        lnp_prop = ln_prob_fn(prop)
+        alpha = jnp.exp(jnp.minimum(lnp_prop - lnps[c], 0.0))
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+        accept = jax.random.uniform(k_acc, (), dtype) < alpha
+        heads = heads.at[c].set(jnp.where(accept, prop, heads[c]))
+        lnps = lnps.at[c].set(jnp.where(accept, lnp_prop, lnps[c]))
+        return (heads, lnps, n_acc + accept.astype(jnp.int32)), None
+
+    def gen_body(state, _):
+        key, k_gen = jax.random.split(state.key)
+        chain_keys = jax.random.split(k_gen, n_chains)
+        (heads, lnps, n_acc), _ = lax.scan(
+            chain_body,
+            (state.heads, state.head_lnp, state.n_accept),
+            (jnp.arange(n_chains), chain_keys),
+        )
+        n_rej = state.n_reject + (
+            n_chains - (n_acc - state.n_accept)
+        )
+        new_state = DemcState(heads, lnps, key, n_acc, n_rej)
+        return new_state, heads
+
+    state, history = lax.scan(gen_body, state, None, length=n_steps)
+    return history, state
+
+
 class DeMcSampler:
     """Differential-evolution MCMC over parallel chains.
 
@@ -325,6 +386,13 @@ class DeMcSampler:
     var_epsilon, optional proposal fixup, acceptance bookkeeping, and the
     round-robin ``get_samples`` readout. ``ln_prob_fn`` maps a single (d,)
     sample to a scalar log-probability (jit-traceable).
+
+    ``sample_mcmc(n, mode=...)``: mode="parallel" (default) advances all
+    chains generation-synchronously (= the reference's ``sample_mcmc_par``,
+    the TPU-native vmapped path); mode="serial" reproduces the reference's
+    serial ``sample_mcmc`` update order (chains see earlier chains' updates
+    within the same generation, space_samplers.rs:361-374) — offered for
+    declared-behavior parity, at sequential-loop speed.
     """
 
     def __init__(self, ln_prob_fn: Callable, init_chains,
@@ -347,10 +415,14 @@ class DeMcSampler:
         self.n_accept = 0
         self.n_reject = 0
 
-    def sample_mcmc(self, n_samples: int):
-        """Draw n_samples generations on all chains (one fused scan)."""
+    def sample_mcmc(self, n_samples: int, mode: str = "parallel"):
+        """Draw n_samples generations on all chains (one fused scan).
+
+        mode="serial" uses the reference's sequential within-generation
+        update order (see class docstring)."""
         self._key, run_key = jax.random.split(self._key)
-        history, state = demc_run(
+        runner = demc_run_serial if mode == "serial" else demc_run
+        history, state = runner(
             self._heads, self.ln_prob_fn, int(n_samples), self.gamma,
             self.var_epsilon, run_key, self.prop_fixup_fn,
         )
@@ -360,8 +432,10 @@ class DeMcSampler:
         self.n_reject += int(state.n_reject)
         return self
 
-    # parity alias: the reference's parallel variant is the same math
-    sample_mcmc_par = sample_mcmc
+    def sample_mcmc_par(self, n_samples: int):
+        """The reference's parallel variant — same math as the default
+        ``sample_mcmc`` path (space_samplers.rs:377-393)."""
+        return self.sample_mcmc(n_samples, mode="parallel")
 
     def accept_ratio(self) -> float:
         """Global acceptance ratio. space_samplers.rs:396-398."""

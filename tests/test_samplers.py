@@ -102,6 +102,35 @@ def test_get_samples_interleaving():
     np.testing.assert_allclose(out[:, 0], [0.0, 1.0, 2.0, 0.0, 1.0, 2.0])
 
 
+def test_demc_serial_mode_gaussian():
+    # Reference serial sample_mcmc semantics (space_samplers.rs:361-374):
+    # within a generation, chain c proposes from already-updated chains <c.
+    # Statistical equivalence with the parallel mode on a 1-D Gaussian.
+    from corrla_rs_tpu.ops.samplers import DeMcSampler
+
+    mu, std = 2.0, 3.0
+
+    def lnp_like(x):
+        return -0.5 * ((x[0] - mu) / std) ** 2 - jnp.log(std)
+
+    lnp = ln_like_sum(lnp_like, ln_prior_uniform(np.array([[-20.0, 20.0]])))
+    heads0 = jnp.zeros((8, 1))
+    s = DeMcSampler(lnp, heads0, gamma=0.8, var_epsilon=1e-10, key=0)
+    s.sample_mcmc(3000, mode="serial")
+    tail = np.asarray(s.get_samples(1200))
+    assert abs(tail.mean() - mu) < 5e-1
+    assert abs(tail.std(ddof=1) - std) < 5e-1
+    assert s.accept_ratio() > 0.2
+    # and the two modes genuinely differ in trajectory for the same key
+    s2 = DeMcSampler(lnp, heads0, gamma=0.8, var_epsilon=1e-10, key=0)
+    s2.sample_mcmc(50, mode="parallel")
+    s3 = DeMcSampler(lnp, heads0, gamma=0.8, var_epsilon=1e-10, key=0)
+    s3.sample_mcmc(50, mode="serial")
+    assert not np.allclose(
+        np.asarray(s2.chain_history), np.asarray(s3.chain_history)
+    )
+
+
 def test_cs_mcmc_dirichlet_sample_surface():
     # Full-pipeline parity with lib_math_utils_py.rs:107-168.
     samples, ar = crt.cs_mcmc_dirichlet_sample(
