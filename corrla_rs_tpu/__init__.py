@@ -56,6 +56,7 @@ from corrla_rs_tpu.ops.univariate_rv import (
     build_kde,
 )
 from corrla_rs_tpu.utils.checkpoint import load_model, save_model
+from corrla_rs_tpu.utils.debug import NonFiniteError, debug_enabled, set_debug
 
 # Aliases matching the exact pyo3 class names (lib_math_utils_py.rs:179-283)
 PyRbfInterp = RbfInterp
@@ -103,6 +104,9 @@ __all__ = [
     "effective_sample_size",
     "save_model",
     "load_model",
+    "set_debug",
+    "debug_enabled",
+    "NonFiniteError",
     "PyRbfInterp",
     "PyPodI",
     "PyDMDc",

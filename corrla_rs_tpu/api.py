@@ -10,9 +10,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.debug import guard_finite
 from corrla_rs_tpu.utils.prng import as_key
 
 
+@guard_finite
 def rsvd(a_mat, n_rank: int, n_iters: int, n_oversamples: int, seed=0):
     """Randomized SVD. Parity with pyfn rsvd (lib_math_utils_py.rs:21-36).
 
@@ -23,6 +25,7 @@ def rsvd(a_mat, n_rank: int, n_iters: int, n_oversamples: int, seed=0):
     return u, s[:, None], vt
 
 
+@guard_finite
 def rpca(a_mat, n_rank: int, n_iters: int = None, n_oversamples: int = None,
          seed=0):
     """PCA via RSVD. Parity with pyfn rpca (lib_math_utils_py.rs:38-55).
@@ -38,6 +41,7 @@ def rpca(a_mat, n_rank: int, n_iters: int = None, n_oversamples: int = None,
     return pca.singular_values[:, None], pca.components
 
 
+@guard_finite
 def active_ss(x, y, order: int, n_nbr: int, n_comps: int):
     """Active-subspace id + sensitivity. Parity with pyfn active_ss
     (lib_math_utils_py.rs:57-87): local-poly gradient estimator, the EVD
@@ -59,6 +63,7 @@ def active_ss(x, y, order: int, n_nbr: int, n_comps: int):
     return fitted.components, fitted.singular_vals, fitted.var_diag_evd_sensi()
 
 
+@guard_finite
 def cs_dirichlet_sample(bounds, n_samples: int, max_zshots: int,
                         chunk_size: int, c_scale: float, alphas, seed=0):
     """Constrained Dirichlet rejection sampling. Parity with pyfn
@@ -71,6 +76,7 @@ def cs_dirichlet_sample(bounds, n_samples: int, max_zshots: int,
     )
 
 
+@guard_finite
 def cs_mcmc_dirichlet_sample(bounds, n_samples: int, n_seed_samples: int,
                              max_zshots: int, chunk_size: int, c_scale: float,
                              alphas, gamma: float, var_epsilon: float, seed=0):
