@@ -55,47 +55,77 @@ class DreamState(NamedTuple):
     t: jnp.ndarray           # generation counter
 
 
-def _dream_generation(state: DreamState, ln_prob_fn, delta_max, n_cr,
-                      gamma_jump_prob, b, b_star, n_adapt, prop_fixup_fn):
+class _GenRand(NamedTuple):
+    """Pre-drawn per-generation randomness (leading axis = generation)."""
+    pairs: jnp.ndarray      # (n, 2*delta_max) int
+    delta: jnp.ndarray      # (n,) int in [1, delta_max]
+    u_cr: jnp.ndarray       # (n,) uniform for the CR inverse-CDF draw
+    z: jnp.ndarray          # (n, d) uniform (subspace mask)
+    force: jnp.ndarray      # (n,) int in [0, d)
+    u_jump: jnp.ndarray     # (n,) uniform (unit-gamma mode jumps)
+    e: jnp.ndarray          # (n, d) uniform in [-b, b]
+    eps: jnp.ndarray        # (n, d) b_star * normal
+    u_acc: jnp.ndarray      # (n,) uniform (metropolis accept)
+
+
+def _draw_chunk(key, n_gens, n_chains, d, delta_max, b, b_star, dtype):
+    """All randomness for ``n_gens`` generations in 9 batched draws.
+
+    The per-generation kernel-launch overhead of this runtime (~10-25 us
+    per op inside a scan step) made the ~25 PRNG ops of a draw-per-
+    generation design the dominant cost at small chain counts; drawing a
+    chunk at once amortizes them n_gens-fold.
+    """
+    ks = jax.random.split(key, 9)
+    g = (n_gens,)
+    return _GenRand(
+        pairs=pick_others_batched(ks[0], n_chains, 2 * delta_max,
+                                  n_batch=n_gens),
+        delta=jax.random.randint(ks[1], g + (n_chains,), 1, delta_max + 1),
+        u_cr=jax.random.uniform(ks[2], g + (n_chains,), dtype),
+        z=jax.random.uniform(ks[3], g + (n_chains, d), dtype),
+        force=jax.random.randint(ks[4], g + (n_chains,), 0, d),
+        u_jump=jax.random.uniform(ks[5], g + (n_chains,), dtype),
+        e=jax.random.uniform(ks[6], g + (n_chains, d), dtype, -b, b),
+        eps=b_star * jax.random.normal(ks[7], g + (n_chains, d), dtype),
+        u_acc=jax.random.uniform(ks[8], g + (n_chains,), dtype),
+    )
+
+
+def _dream_generation(state: DreamState, rand: _GenRand, ln_prob_fn,
+                      delta_max, n_cr, gamma_jump_prob, n_adapt,
+                      prop_fixup_fn):
+    """One DREAM generation from pre-drawn randomness (see _draw_chunk)."""
     n_chains, d = state.heads.shape
     dtype = state.heads.dtype
-    keys = jax.random.split(state.key, 10)
-    key = keys[0]
     # chain spread for jump-distance normalization (guard zeros)
     chain_std = jnp.std(state.heads, axis=0) + 1e-30
 
-    # All per-chain randomness is drawn as whole batched tensors — one PRNG
-    # dispatch per quantity — so a generation is O(n_chains) total work.
-    pairs = pick_others_batched(keys[1], n_chains, 2 * delta_max)
-    delta = jax.random.randint(keys[2], (n_chains,), 1, delta_max + 1)
     pair_mask = (
-        jnp.arange(delta_max)[None, :] < delta[:, None]
+        jnp.arange(delta_max)[None, :] < rand.delta[:, None]
     ).astype(dtype)[..., None]                       # (n, dm, 1)
-    a_idx = pairs[:, :delta_max]
-    b_idx = pairs[:, delta_max:]
+    a_idx = rand.pairs[:, :delta_max]
+    b_idx = rand.pairs[:, delta_max:]
     diff = jnp.sum(
         (state.heads[a_idx] - state.heads[b_idx]) * pair_mask, axis=1
     )                                                 # (n, d)
 
-    # crossover values
-    cr_ids = jax.random.categorical(
-        keys[3], jnp.log(state.p_cr), shape=(n_chains,)
-    )
+    # crossover draw via inverse CDF of the (adapting) p_cr — identical in
+    # distribution to jax.random.categorical but usable with pre-drawn
+    # uniforms
+    cdf = jnp.cumsum(state.p_cr)[:-1]
+    cr_ids = jnp.sum(rand.u_cr[:, None] > cdf[None, :], axis=1)
     cr = (cr_ids.astype(dtype) + 1.0) / n_cr
-    z = jax.random.uniform(keys[4], (n_chains, d), dtype)
-    mask = z < cr[:, None]
+    mask = rand.z < cr[:, None]
     # guarantee at least one updated dimension per chain
-    force = jax.random.randint(keys[5], (n_chains,), 0, d)
-    mask = mask.at[jnp.arange(n_chains), force].set(True)
+    mask = mask.at[jnp.arange(n_chains), rand.force].set(True)
     d_eff = jnp.sum(mask.astype(dtype), axis=1)
 
-    gamma = 2.38 / jnp.sqrt(2.0 * delta.astype(dtype) * d_eff)
-    unit_jump = jax.random.uniform(keys[6], (n_chains,), dtype) < gamma_jump_prob
+    gamma = 2.38 / jnp.sqrt(2.0 * rand.delta.astype(dtype) * d_eff)
+    unit_jump = rand.u_jump < gamma_jump_prob
     gamma = jnp.where(unit_jump, jnp.asarray(1.0, dtype), gamma)
 
-    e = jax.random.uniform(keys[7], (n_chains, d), dtype, -b, b)
-    eps = b_star * jax.random.normal(keys[8], (n_chains, d), dtype)
-    step = (1.0 + e) * gamma[:, None] * diff + eps
+    step = (1.0 + rand.e) * gamma[:, None] * diff + rand.eps
     prop = jnp.where(mask, state.heads + step, state.heads)
     if prop_fixup_fn is not None:
         prop = jax.vmap(prop_fixup_fn)(prop)
@@ -103,7 +133,7 @@ def _dream_generation(state: DreamState, ln_prob_fn, delta_max, n_cr,
     lnp_prop = jax.vmap(ln_prob_fn)(prop)
     alpha = jnp.exp(jnp.minimum(lnp_prop - state.head_lnp, 0.0))
     alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
-    accepts = jax.random.uniform(keys[9], (n_chains,), dtype) < alpha
+    accepts = rand.u_acc < alpha
     xs = jnp.where(accepts[:, None], prop, state.heads)
     lnps = jnp.where(accepts, lnp_prop, state.head_lnp)
     # squared normalized jump distance of the realized moves
@@ -120,7 +150,7 @@ def _dream_generation(state: DreamState, ln_prob_fn, delta_max, n_cr,
     p_cr = jnp.where(adapting, p_cr_new, state.p_cr)
 
     return DreamState(
-        xs, lnps, key, p_cr, jump_dist, n_id,
+        xs, lnps, state.key, p_cr, jump_dist, n_id,
         state.n_accept + jnp.sum(accepts, dtype=jnp.int32),
         state.t + 1,
     )
@@ -131,7 +161,10 @@ def make_dream_state(init_heads, ln_prob_fn: Callable, n_cr: int = _CFG.n_cr,
     """Fresh DREAM state: uniform CR probabilities, zeroed adaptation
     statistics, generation counter at 0."""
     heads = jnp.asarray(init_heads)
-    lnp0 = jax.jit(jax.vmap(ln_prob_fn))(heads)
+    # eager vmap (one batched dispatch) — wrapping in a fresh jax.jit here
+    # would create a new cache entry per call and silently recompile the
+    # user's ln_prob_fn on every dream_run invocation
+    lnp0 = jax.vmap(ln_prob_fn)(heads)
     return DreamState(
         heads, lnp0, as_key(key),
         jnp.ones((n_cr,), heads.dtype) / n_cr,
@@ -142,28 +175,53 @@ def make_dream_state(init_heads, ln_prob_fn: Callable, n_cr: int = _CFG.n_cr,
     )
 
 
+def _chunk_for(n_chains: int) -> int:
+    """Generations per pre-drawn randomness chunk.
+
+    Small populations are dominated by per-generation kernel-launch
+    overhead -> amortize with big chunks (measured at 512 chains:
+    2.1 M samples/s unchunked -> ~4 M/s at chunk 50). Large populations
+    are HBM-bound on the chunk tensors ((chunk, n, d) x 6) -> keep chunks
+    small (32k chains: chunk 5 beats chunk 20 by ~35%). Sweep recorded in
+    BASELINE.md round-2 notes.
+    """
+    return max(5, min(50, 25600 // max(n_chains, 1)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ln_prob_fn", "n_steps", "delta_max", "n_cr", "prop_fixup_fn",
-        "n_adapt", "unroll",
+        "ln_prob_fn", "n_chunks", "chunk", "delta_max", "n_cr",
+        "prop_fixup_fn", "n_adapt", "unroll",
     ),
 )
-def _dream_scan(state: DreamState, ln_prob_fn, n_steps, delta_max, n_cr,
-                gamma_jump_prob, b, b_star, n_adapt, prop_fixup_fn, unroll):
-    def body(state, _):
-        state = _dream_generation(
-            state, ln_prob_fn, delta_max, n_cr, gamma_jump_prob, b, b_star,
+def _dream_scan(state: DreamState, ln_prob_fn, n_chunks, chunk, delta_max,
+                n_cr, gamma_jump_prob, b, b_star, n_adapt, prop_fixup_fn,
+                unroll):
+    """n_chunks x chunk generations; randomness pre-drawn per chunk."""
+    n_chains, d = state.heads.shape
+    dtype = state.heads.dtype
+
+    def inner(st, rand):
+        st = _dream_generation(
+            st, rand, ln_prob_fn, delta_max, n_cr, gamma_jump_prob,
             n_adapt, prop_fixup_fn,
         )
-        return state, state.heads
+        return st, st.heads
 
-    # unroll: amortize the per-iteration scan overhead (~200 us/step on
-    # this TPU runtime) across several generations per loop trip
-    return lax.scan(
-        body, state, None, length=n_steps,
-        unroll=min(unroll, max(n_steps, 1)),
-    )
+    def outer(state, _):
+        key, k_draw = jax.random.split(state.key)
+        rand = _draw_chunk(
+            k_draw, chunk, n_chains, d, delta_max, b, b_star, dtype
+        )
+        state, hist = lax.scan(
+            inner, state._replace(key=key), rand,
+            unroll=min(unroll, max(chunk, 1)),
+        )
+        return state, hist
+
+    state, hist = lax.scan(outer, state, None, length=n_chunks)
+    return state, hist.reshape(n_chunks * chunk, n_chains, d)
 
 
 def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
@@ -192,9 +250,24 @@ def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
     assert n_chains >= 2 * delta_max + 1, (
         "DREAM needs n_chains >= 2*delta_max + 1"
     )
-    state, history = _dream_scan(
-        state, ln_prob_fn, int(n_steps), delta_max, n_cr, gamma_jump_prob,
-        b, b_star, n_adapt, prop_fixup_fn, unroll,
+    n_steps = int(n_steps)
+    run = functools.partial(
+        _dream_scan, ln_prob_fn=ln_prob_fn, delta_max=delta_max, n_cr=n_cr,
+        gamma_jump_prob=gamma_jump_prob, b=b, b_star=b_star, n_adapt=n_adapt,
+        prop_fixup_fn=prop_fixup_fn, unroll=unroll,
+    )
+    histories = []
+    chunk_size = _chunk_for(n_chains)
+    n_main, rem = divmod(n_steps, chunk_size)
+    if n_main:
+        state, h = run(state, n_chunks=n_main, chunk=chunk_size)
+        histories.append(h)
+    if rem:
+        state, h = run(state, n_chunks=1, chunk=rem)
+        histories.append(h)
+    history = (
+        histories[0] if len(histories) == 1
+        else jnp.concatenate(histories, axis=0)
     )
     return history, state
 

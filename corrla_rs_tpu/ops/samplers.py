@@ -236,7 +236,8 @@ def _pick_two_others(key, c, n_chains):
     return a, b
 
 
-def pick_others_batched(key, n_chains: int, k: int) -> jnp.ndarray:
+def pick_others_batched(key, n_chains: int, k: int,
+                        n_batch: int | None = None) -> jnp.ndarray:
     """(n_chains, k) random indices, distinct per row and != the row index.
 
     O(k^2) work per chain (k is tiny) via sequential draws from shrinking
@@ -244,17 +245,22 @@ def pick_others_batched(key, n_chains: int, k: int) -> jnp.ndarray:
     ``_pick_two_others``. This keeps one DEMC/DREAM generation O(n_chains)
     total (a per-chain ``jax.random.permutation`` would be O(n_chains^2)
     per step and measurably collapses throughput past ~2k chains).
+
+    ``n_batch``: draw for n_batch independent generations at once —
+    returns (n_batch, n_chains, k). Used by the chunked DREAM scan to
+    amortize the per-generation draw/sort kernels.
     """
+    shape = (n_chains,) if n_batch is None else (n_batch, n_chains)
     keys = jax.random.split(key, k)
-    c = jnp.arange(n_chains)
+    c = jnp.broadcast_to(jnp.arange(n_chains), shape)
     chosen = []
     for j in range(k):
-        r = jax.random.randint(keys[j], (n_chains,), 0, n_chains - 1 - j)
-        exc = jnp.sort(jnp.stack([c] + chosen, axis=1), axis=1)
+        r = jax.random.randint(keys[j], shape, 0, n_chains - 1 - j)
+        exc = jnp.sort(jnp.stack([c] + chosen, axis=-1), axis=-1)
         for m in range(j + 1):
-            r = r + (r >= exc[:, m])
+            r = r + (r >= exc[..., m])
         chosen.append(r)
-    return jnp.stack(chosen, axis=1)
+    return jnp.stack(chosen, axis=-1)
 
 
 def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
