@@ -263,25 +263,17 @@ def pick_others_batched(key, n_chains: int, k: int,
     return jnp.stack(chosen, axis=-1)
 
 
-def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
-              prop_fixup_fn=None) -> DemcState:
-    """Advance every chain one DEMC step (vmapped).
+def _demc_step_pre(state: DemcState, rand, ln_prob_fn, gamma: float,
+                   prop_fixup_fn=None) -> DemcState:
+    """One DEMC generation from pre-drawn randomness.
 
     Proposal parity with space_samplers.rs:326-358; all chains propose from
     the same generation of heads, matching the reference's parallel
     ``sample_mcmc_par`` (space_samplers.rs:377-393).
     """
-    n_chains, ndim = state.heads.shape
-    dtype = state.heads.dtype
-    key, k_pick, k_jit, k_acc = jax.random.split(state.key, 4)
-
-    # all per-chain randomness drawn as whole batched tensors (one PRNG
-    # dispatch each) — per-chain key splitting dominates at >1k chains
-    pairs = pick_others_batched(k_pick, n_chains, 2)
+    n_chains, _ndim = state.heads.shape
+    pairs, jitter, u_acc = rand
     delta = state.heads[pairs[:, 0]] - state.heads[pairs[:, 1]]
-    jitter = jax.random.uniform(
-        k_jit, (n_chains, ndim), dtype, 0.0, var_epsilon
-    )
     prop = state.heads + gamma * delta + jitter
     if prop_fixup_fn is not None:
         prop = jax.vmap(prop_fixup_fn)(prop)
@@ -289,38 +281,98 @@ def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
     # alpha = clip(exp(lnp' - lnp), 0, 1) (space_samplers.rs:400-408)
     alpha = jnp.exp(jnp.minimum(lnp_prop - state.head_lnp, 0.0))
     alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
-    accepts = jax.random.uniform(k_acc, (n_chains,), dtype) < alpha
+    accepts = u_acc < alpha
     xs = jnp.where(accepts[:, None], prop, state.heads)
     lnps = jnp.where(accepts, lnp_prop, state.head_lnp)
     n_acc = state.n_accept + jnp.sum(accepts, dtype=jnp.int32)
     n_rej = state.n_reject + (n_chains - jnp.sum(accepts, dtype=jnp.int32))
-    return DemcState(xs, lnps, key, n_acc, n_rej)
+    return DemcState(xs, lnps, state.key, n_acc, n_rej)
+
+
+def demc_step(state: DemcState, ln_prob_fn, gamma: float, var_epsilon: float,
+              prop_fixup_fn=None) -> DemcState:
+    """Advance every chain one DEMC step (vmapped), drawing fresh
+    randomness from ``state.key`` (see _demc_step_pre for the kernel)."""
+    n_chains, ndim = state.heads.shape
+    dtype = state.heads.dtype
+    key, k_pick, k_jit, k_acc = jax.random.split(state.key, 4)
+    rand = (
+        pick_others_batched(k_pick, n_chains, 2),
+        jax.random.uniform(k_jit, (n_chains, ndim), dtype, 0.0, var_epsilon),
+        jax.random.uniform(k_acc, (n_chains,), dtype),
+    )
+    return _demc_step_pre(
+        state._replace(key=key), rand, ln_prob_fn, gamma, prop_fixup_fn
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ln_prob_fn", "n_steps", "prop_fixup_fn", "unroll"),
+    static_argnames=("ln_prob_fn", "n_chunks", "chunk", "prop_fixup_fn",
+                     "unroll"),
 )
+def _demc_scan(state, ln_prob_fn, n_chunks, chunk, gamma, var_epsilon,
+               prop_fixup_fn, unroll):
+    """n_chunks x chunk generations; randomness pre-drawn per chunk (the
+    per-generation PRNG kernels dominate small populations on this
+    runtime — same design as ops.dream._dream_scan)."""
+    n_chains, ndim = state.heads.shape
+    dtype = state.heads.dtype
+
+    def inner(st, rand):
+        st = _demc_step_pre(st, rand, ln_prob_fn, gamma, prop_fixup_fn)
+        return st, st.heads
+
+    def outer(state, _):
+        key, k_pick, k_jit, k_acc = jax.random.split(state.key, 4)
+        rand = (
+            pick_others_batched(k_pick, n_chains, 2, n_batch=chunk),
+            jax.random.uniform(
+                k_jit, (chunk, n_chains, ndim), dtype, 0.0, var_epsilon
+            ),
+            jax.random.uniform(k_acc, (chunk, n_chains), dtype),
+        )
+        state, hist = lax.scan(
+            inner, state._replace(key=key), rand,
+            unroll=min(unroll, max(chunk, 1)),
+        )
+        return state, hist
+
+    state, hist = lax.scan(outer, state, None, length=n_chunks)
+    return state, hist.reshape(n_chunks * chunk, n_chains, ndim)
+
+
 def demc_run(init_heads, ln_prob_fn, n_steps: int, gamma: float,
              var_epsilon: float, key, prop_fixup_fn=None, unroll: int = 4):
     """Run n_steps of DEMC on all chains; returns (history, state).
 
     history: (n_steps, n_chains, ndim) — one generation per step.
     """
+    from corrla_rs_tpu.ops.dream import _chunk_for
+
     heads = jnp.asarray(init_heads)
     lnp0 = jax.vmap(ln_prob_fn)(heads)
     state = DemcState(
         heads, lnp0, as_key(key),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
     )
-
-    def scan_body(state, _):
-        state = demc_step(state, ln_prob_fn, gamma, var_epsilon, prop_fixup_fn)
-        return state, state.heads
-
-    state, history = lax.scan(
-        scan_body, state, None, length=n_steps,
-        unroll=min(unroll, max(n_steps, 1)),
+    n_steps = int(n_steps)
+    run = functools.partial(
+        _demc_scan, ln_prob_fn=ln_prob_fn, gamma=gamma,
+        var_epsilon=var_epsilon, prop_fixup_fn=prop_fixup_fn, unroll=unroll,
+    )
+    histories = []
+    chunk_size = _chunk_for(heads.shape[0])
+    n_main, rem = divmod(n_steps, chunk_size)
+    if n_main:
+        state, h = run(state, n_chunks=n_main, chunk=chunk_size)
+        histories.append(h)
+    if rem:
+        state, h = run(state, n_chunks=1, chunk=rem)
+        histories.append(h)
+    history = (
+        histories[0] if len(histories) == 1
+        else jnp.concatenate(histories, axis=0)
     )
     return history, state
 
