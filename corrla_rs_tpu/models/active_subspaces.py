@@ -177,14 +177,36 @@ class ActiveSsRsvd:
         grads = self.grad_est.grad_batch(jnp.asarray(x_mat))  # (N, k)
         return grads.T
 
-    def fit(self, x_mat) -> FittedActiveSsRsvd:
+    def _shard_queries(self, x, mesh):
+        """Row-shard the query/sample axis over the mesh. The gradient
+        estimation is embarrassingly parallel over queries (support points
+        stay replicated); GSPMD partitions the vmapped local fits and
+        inserts the psum for the cross-shard G G^T / RSVD Gram reductions.
+        """
+        from corrla_rs_tpu.parallel.mesh import shard_rows
+
+        if x.shape[0] % mesh.devices.size != 0:
+            raise ValueError(
+                f"active-subspace mesh= requires the sample count "
+                f"({x.shape[0]}) to divide the mesh size "
+                f"({mesh.devices.size})"
+            )
+        return shard_rows(x, mesh)
+
+    def fit(self, x_mat, mesh=None) -> FittedActiveSsRsvd:
         """EVD path: eigh of C = G G^T / N, sorted descending.
 
         Parity with active_subspaces.rs:252-277 (C is symmetric PSD so the
         TPU-native symmetric solver replaces the reference's complex
         general EVD whose imaginary parts are zero).
+
+        ``mesh=``: shard the N sample/query axis across chips — per-shard
+        kNN + local fits, psum'd C reduction (SURVEY.md §2.2 long-axis
+        scaling for component 6).
         """
         x = jnp.asarray(x_mat)
+        if mesh is not None:
+            x = self._shard_queries(x, mesh)
         g = self.create_grad_mat(x)
         c = jnp.matmul(g, g.T, precision=PRECISION) / x.shape[0]
         eigs, eigvs = jnp.linalg.eigh(c)
@@ -192,10 +214,13 @@ class ActiveSsRsvd:
         return FittedActiveSsRsvd(sorted_vecs, sorted_vals, self.n_comps)
 
     def fit_svd(self, x_mat, n_iter: int | None = None,
-                n_oversamples: int | None = None, key=0) -> FittedActiveSsRsvd:
+                n_oversamples: int | None = None, key=0,
+                mesh=None) -> FittedActiveSsRsvd:
         """RSVD path: RSVD of G / sqrt(N). Parity with
-        active_subspaces.rs:233-250."""
+        active_subspaces.rs:233-250. ``mesh=`` as in ``fit``."""
         x = jnp.asarray(x_mat)
+        if mesh is not None:
+            x = self._shard_queries(x, mesh)
         k_features = x.shape[1]
         g = self.create_grad_mat(x) / jnp.sqrt(jnp.asarray(x.shape[0], x.dtype))
         u, s, _vt = random_svd(

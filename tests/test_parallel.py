@@ -155,6 +155,48 @@ def test_sharded_pod_matches_single(rng):
     )
 
 
+def test_sharded_active_subspace_matches_single(rng):
+    # Component 6 long-axis scaling: N sample/query axis sharded, support
+    # replicated, psum'd C reduction via GSPMD.
+    _require_8()
+    from corrla_rs_tpu.models.active_subspaces import (
+        ActiveSsRsvd,
+        PolyGradientEstimator,
+    )
+
+    mesh = make_mesh(8)
+    n, k = 320, 3
+    x = rng.uniform(-1.0, 1.0, (n, k))
+    y = 0.1 * x[:, 0] + 5.0 * x[:, 1] + 0.3 * x[:, 2] + 2.0 * x[:, 1] ** 2
+    ge = PolyGradientEstimator(jnp.asarray(x), jnp.asarray(y), 2, 16)
+    est = ActiveSsRsvd(ge, 2)
+    f1 = est.fit(jnp.asarray(x))
+    f2 = est.fit(jnp.asarray(x), mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(f2.singular_vals), np.asarray(f1.singular_vals),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(f2.components)), np.abs(np.asarray(f1.components)),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f2.var_diag_evd_sensi()),
+        np.asarray(f1.var_diag_evd_sensi()), rtol=1e-8,
+    )
+    # the dominant direction is x2 (largest variability)
+    assert int(np.abs(np.asarray(f2.components)[:, 0]).argmax()) == 1
+    # fit_svd path too
+    s1 = est.fit_svd(jnp.asarray(x), key=2)
+    s2 = est.fit_svd(jnp.asarray(x), key=2, mesh=mesh)
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(s2.singular_vals_)),
+        np.diagonal(np.asarray(s1.singular_vals_)), rtol=1e-6,
+    )
+    with pytest.raises(ValueError, match="divide the mesh"):
+        est.fit(jnp.asarray(x[:300]), mesh=mesh)
+
+
 def test_sharded_dream_gaussian():
     _require_8()
     import jax.numpy as jnp
@@ -196,6 +238,26 @@ def test_sharded_stats_autopartition(rng):
     c1 = mat_cov_centered(x)
     c2 = jax.jit(mat_cov_centered)(x_sh)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-10)
+
+
+def test_sharded_nll_matches_single(rng):
+    # SURVEY §2.2 row 4: the reference's Rayon-parallel NLL reduction maps
+    # to a vectorized logpdf sum that GSPMD reduces with a psum when the
+    # samples are row-sharded.
+    _require_8()
+    import jax
+
+    from corrla_rs_tpu import NormalRv
+
+    mesh = make_mesh(8)
+    rv = NormalRv(2.0, 3.0)
+    x = jnp.asarray(rng.normal(2.0, 3.0, (4000,)))
+    n1 = rv.nll(x)
+    x_sh = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows"))
+    )
+    n2 = jax.jit(rv.nll)(x_sh)
+    np.testing.assert_allclose(float(n2), float(n1), rtol=1e-12)
 
 
 def test_sharded_dmdc_matches_single():
