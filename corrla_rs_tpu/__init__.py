@@ -42,6 +42,7 @@ from corrla_rs_tpu.models.active_subspaces import (
     PolyGradientEstimator,
 )
 from corrla_rs_tpu.ops.copula import GaussianCopula
+from corrla_rs_tpu.ops.vine import CVineCopula
 from corrla_rs_tpu.ops.diagnostics import effective_sample_size, gelman_rubin
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.gp import GpRegressor
@@ -100,6 +101,7 @@ __all__ = [
     "build_kde",
     "GpRegressor",
     "GaussianCopula",
+    "CVineCopula",
     "gelman_rubin",
     "effective_sample_size",
     "save_model",

@@ -189,8 +189,11 @@ class DMDc:
         self._a_full = None
         # Factored dynamics for the O(n_x * r) rollout (method='modes'):
         # A = Re(Phi Lambda Phi^+) = Phi_r W_r - Phi_i W_i with
-        # W = diag(lambda) Phi^+ (host complex, tiny)
-        phi = np.asarray(self.modes_re) + 1j * np.asarray(self.modes_im)
+        # W = diag(lambda) Phi^+ (host complex, tiny). One stacked fetch:
+        # each separate device->host transfer costs ~30-40 ms on this
+        # tunneled runtime.
+        both = np.asarray(jnp.stack([self.modes_re, self.modes_im]))
+        phi = both[0] + 1j * both[1]
         w = lam[:, None] * _pinv_complex_np(phi)
         self._w_re = jnp.asarray(np.real(w), x.dtype)
         self._w_im = jnp.asarray(np.imag(w), x.dtype)

@@ -1,0 +1,359 @@
+"""Canonical (C-) vine copula with bivariate pair-copula families.
+
+The reference README lists "copulas / vine copulas" as a roadmap item it
+never implemented (readme.md:49-54; SURVEY.md §2.4 item 5). This module is
+the vine half (ops/copula.py has the plain Gaussian copula): a C-vine
+pair-copula construction per Aas, Czado, Frigessi & Bakken (2009),
+"Pair-copula constructions of multiple dependence".
+
+Families: gaussian, clayton, gumbel, frank, independent. Fitting inverts
+Kendall's tau per pair (closed form for gaussian/clayton/gumbel, bisection
+on the Debye-function relation for frank) and selects the family by pair
+log-likelihood; conditioning uses the h-functions (conditional CDFs),
+sampling the inverse h-functions (closed form except gumbel, which uses a
+fixed-iteration bisection — jit-friendly, no data-dependent control flow).
+
+TPU-first notes: Kendall's tau is the O(n^2) sign-product mean computed as
+two broadcasted comparisons (VPU); every h/h-inverse/log-pdf is an
+elementwise expression vectorized over the whole sample; the tree
+recursion is a Python loop over the (small) dimension, everything inside
+is jittable.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = ["CVineCopula", "kendall_tau", "FAMILIES"]
+
+FAMILIES = ("independent", "gaussian", "clayton", "gumbel", "frank")
+
+_SQRT2 = math.sqrt(2.0)
+_EPS = 1e-6
+
+
+def _norm_cdf(z):
+    return 0.5 * (1.0 + jax.scipy.special.erf(z / _SQRT2))
+
+
+def _norm_ppf(u):
+    return _SQRT2 * jax.scipy.special.erfinv(2.0 * u - 1.0)
+
+
+def _clip_u(u):
+    return jnp.clip(u, _EPS, 1.0 - _EPS)
+
+
+def kendall_tau(x, y) -> jnp.ndarray:
+    """Kendall's tau-a via the O(n^2) broadcasted sign-product mean."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    sx = jnp.sign(x[:, None] - x[None, :])
+    sy = jnp.sign(y[:, None] - y[None, :])
+    n = x.shape[0]
+    return jnp.sum(sx * sy) / (n * (n - 1.0))
+
+
+# ---------------------------------------------------------------------------
+# pair-copula families: tau->param, log-pdf, h, h-inverse
+# h(u | v; th) = dC(u, v)/dv  (conditional CDF of u given v)
+# ---------------------------------------------------------------------------
+
+def _gauss_logpdf(u, v, rho):
+    x, y = _norm_ppf(_clip_u(u)), _norm_ppf(_clip_u(v))
+    r2 = rho * rho
+    return (
+        -0.5 * jnp.log(1.0 - r2)
+        - (r2 * (x * x + y * y) - 2.0 * rho * x * y) / (2.0 * (1.0 - r2))
+    )
+
+
+def _gauss_h(u, v, rho):
+    x, y = _norm_ppf(_clip_u(u)), _norm_ppf(_clip_u(v))
+    return _norm_cdf((x - rho * y) / jnp.sqrt(1.0 - rho * rho))
+
+
+def _gauss_hinv(w, v, rho):
+    y = _norm_ppf(_clip_u(v))
+    x = _norm_ppf(_clip_u(w)) * jnp.sqrt(1.0 - rho * rho) + rho * y
+    return _norm_cdf(x)
+
+
+def _clayton_logpdf(u, v, th):
+    u, v = _clip_u(u), _clip_u(v)
+    lu, lv = jnp.log(u), jnp.log(v)
+    s = jnp.exp(-th * lu) + jnp.exp(-th * lv) - 1.0
+    return (
+        jnp.log1p(th) - (th + 1.0) * (lu + lv)
+        - (2.0 + 1.0 / th) * jnp.log(s)
+    )
+
+
+def _clayton_h(u, v, th):
+    u, v = _clip_u(u), _clip_u(v)
+    s = u ** (-th) + v ** (-th) - 1.0
+    return v ** (-th - 1.0) * s ** (-1.0 - 1.0 / th)
+
+
+def _clayton_hinv(w, v, th):
+    w, v = _clip_u(w), _clip_u(v)
+    t = (w * v ** (th + 1.0)) ** (-th / (th + 1.0))
+    return (t + 1.0 - v ** (-th)) ** (-1.0 / th)
+
+
+def _gumbel_logpdf(u, v, th):
+    u, v = _clip_u(u), _clip_u(v)
+    lu, lv = -jnp.log(u), -jnp.log(v)   # positive
+    a, b = lu**th, lv**th
+    s = a + b
+    spow = s ** (1.0 / th)
+    logc = -spow
+    return (
+        logc + lu + lv
+        + (th - 1.0) * (jnp.log(lu) + jnp.log(lv))
+        + (1.0 / th - 2.0) * jnp.log(s)
+        + jnp.log(spow + th - 1.0)
+    )
+
+
+def _gumbel_h(u, v, th):
+    u, v = _clip_u(u), _clip_u(v)
+    lu, lv = -jnp.log(u), -jnp.log(v)
+    s = lu**th + lv**th
+    spow = s ** (1.0 / th)
+    c = jnp.exp(-spow)
+    return c / v * s ** (1.0 / th - 1.0) * lv ** (th - 1.0)
+
+
+def _gumbel_hinv(w, v, th, n_bisect: int = 50):
+    """No closed form: fixed-iteration bisection on u (jit-friendly)."""
+    w, v = _clip_u(w), _clip_u(v)
+    lo = jnp.full_like(w, _EPS)
+    hi = jnp.full_like(w, 1.0 - _EPS)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        too_big = _gumbel_h(mid, v, th) > w
+        hi = jnp.where(too_big, mid, hi)
+        lo = jnp.where(too_big, lo, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def _frank_logpdf(u, v, th):
+    u, v = _clip_u(u), _clip_u(v)
+    et = jnp.expm1(-th)
+    eu = jnp.expm1(-th * u)
+    ev = jnp.expm1(-th * v)
+    den = et + eu * ev
+    return (
+        jnp.log(jnp.abs(th)) + jnp.log(jnp.abs(et))
+        - th * (u + v) - 2.0 * jnp.log(jnp.abs(den))
+    )
+
+
+def _frank_h(u, v, th):
+    u, v = _clip_u(u), _clip_u(v)
+    et = jnp.expm1(-th)
+    eu = jnp.expm1(-th * u)
+    ev = jnp.expm1(-th * v)
+    return (jnp.exp(-th * v) * eu) / (et + eu * ev)
+
+
+def _frank_hinv(w, v, th):
+    # solve w = e^{-th v}(e^{-th u}-1) / [(e^{-th}-1)+(e^{-th u}-1)(e^{-th v}-1)]
+    # for u: (e^{-th u}-1) = w (e^{-th}-1) / (e^{-th v}(1-w) + w)
+    w, v = _clip_u(w), _clip_u(v)
+    et = jnp.expm1(-th)
+    ev = jnp.exp(-th * v)
+    u = -jnp.log1p(w * et / (ev * (1.0 - w) + w)) / th
+    return _clip_u(u)
+
+
+def _debye1(t, n_grid: int = 200):
+    """D1(t) = (1/t) int_0^t x/(e^x - 1) dx via fixed trapezoid grid."""
+    xs = jnp.linspace(1e-8, 1.0, n_grid) * t
+    f = xs / jnp.expm1(xs)
+    return jnp.trapezoid(f, xs) / t
+
+
+def _frank_tau(th):
+    return 1.0 - 4.0 / th * (1.0 - _debye1(th))
+
+
+def _frank_theta_from_tau(tau, n_bisect: int = 60):
+    """Invert tau(theta) by bisection (|theta| <= 50 covers |tau| < 0.94)."""
+    sign = jnp.sign(tau)
+    at = jnp.abs(tau)
+    lo, hi = jnp.asarray(1e-4), jnp.asarray(50.0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        small = _frank_tau(mid) < at
+        lo = jnp.where(small, mid, lo)
+        hi = jnp.where(small, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+    return sign * 0.5 * (lo + hi)
+
+
+_H = {
+    "gaussian": _gauss_h, "clayton": _clayton_h, "gumbel": _gumbel_h,
+    "frank": _frank_h, "independent": lambda u, v, th: u,
+}
+_HINV = {
+    "gaussian": _gauss_hinv, "clayton": _clayton_hinv,
+    "gumbel": _gumbel_hinv, "frank": _frank_hinv,
+    "independent": lambda w, v, th: w,
+}
+_LOGPDF = {
+    "gaussian": _gauss_logpdf, "clayton": _clayton_logpdf,
+    "gumbel": _gumbel_logpdf, "frank": _frank_logpdf,
+    "independent": lambda u, v, th: jnp.zeros_like(u),
+}
+
+
+def _theta_from_tau(family: str, tau: float):
+    t = float(tau)
+    if family == "gaussian":
+        return math.sin(math.pi * t / 2.0)
+    if family == "clayton":
+        # clayton models positive dependence; clamp away from 0
+        return max(2.0 * t / max(1.0 - t, 1e-6), 1e-4)
+    if family == "gumbel":
+        return max(1.0 / max(1.0 - t, 1e-6), 1.0 + 1e-4)
+    if family == "frank":
+        return float(_frank_theta_from_tau(jnp.asarray(t)))
+    return 0.0
+
+
+def _fit_pair(u, v, families=FAMILIES):
+    """Fit each family by tau inversion; select by AIC (the one-parameter
+    families pay a 1-nat penalty so spurious near-zero dependence doesn't
+    beat the independence copula)."""
+    tau = float(kendall_tau(u, v))
+    best = ("independent", 0.0, 0.0)
+    for fam in families:
+        if fam == "independent":
+            continue  # the baseline, score 0
+        if fam in ("clayton", "gumbel") and tau <= 0.0:
+            continue  # these families cannot represent negative dependence
+        th = _theta_from_tau(fam, tau)
+        ll = float(jnp.sum(_LOGPDF[fam](u, v, th))) - 1.0
+        if ll > best[1]:
+            best = (fam, ll, th)
+    return best[0], best[2], tau
+
+
+class CVineCopula:
+    """Canonical vine copula over empirical marginals.
+
+    ``fit(samples)``: rank-transform each column to uniforms, order the
+    variables by total |tau| (strongest-dependence root first, the
+    standard C-vine heuristic), then fit tree after tree: tree t pairs the
+    root-t variable with every later variable conditional on the first
+    t-1 roots, conditioning via h-functions.
+
+    ``sample(n, key)``: Aas et al. (2009) Algorithm 1 — independent
+    uniforms pushed through inverse h-functions down the vine — then each
+    uniform column is inverted through the stored empirical marginal.
+    """
+
+    def __init__(self, families=FAMILIES):
+        self.families = tuple(families)
+
+    def fit(self, samples):
+        x = jnp.asarray(samples)
+        n, d = x.shape
+        order_ = jnp.argsort(x, axis=0)
+        ranks = jnp.zeros_like(order_).at[
+            order_, jnp.arange(d)[None, :]
+        ].set(jnp.arange(n)[:, None])
+        u = (np.asarray(ranks) + 0.5) / n
+
+        # C-vine variable order: root = max sum |tau| against the rest
+        taus = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i + 1, d):
+                taus[i, j] = taus[j, i] = float(
+                    kendall_tau(u[:, i], u[:, j])
+                )
+        self.var_order = list(np.argsort(-np.abs(taus).sum(axis=0)))
+        u = u[:, self.var_order]
+
+        # tree-by-tree pair fits; v[t][j] are the pseudo-observations of
+        # variable j conditional on roots 0..t-1
+        self.pairs = []          # pairs[t][j] = (family, theta)
+        v = jnp.asarray(u)
+        for t in range(d - 1):
+            row = []
+            for j in range(t + 1, d):
+                fam, th, _tau = _fit_pair(
+                    v[:, j], v[:, t], families=self.families
+                )
+                row.append((fam, th))
+            self.pairs.append(row)
+            if t == d - 2:
+                break
+            # condition every later variable on the current root
+            new_cols = [
+                _H[row[j - t - 1][0]](v[:, j], v[:, t], row[j - t - 1][1])
+                for j in range(t + 1, d)
+            ]
+            v = jnp.concatenate(
+                [v[:, : t + 1], jnp.stack(new_cols, axis=1)], axis=1
+            )
+        self._marginals = jnp.sort(x, axis=0)
+        self.n, self.d = n, d
+        return self
+
+    def sample_uniform(self, n_samples: int, key=0) -> jnp.ndarray:
+        """Uniform-scale samples (columns in the ORIGINAL variable order).
+
+        Aas et al. (2009) Algorithm 1: maintain cond[k] =
+        F(x_k | x_0..x_{k-1}); each new variable inverts the h-chain from
+        its deepest tree up to tree 0, then its own conditional
+        pseudo-observation is built by chaining h back down.
+        """
+        d = self.d
+        w = jax.random.uniform(
+            as_key(key), (n_samples, d), minval=_EPS, maxval=1.0 - _EPS
+        )
+        cols = [w[:, 0]]
+        cond = [w[:, 0]]         # cond[k] = F(x_k | roots 0..k-1)
+        for i in range(1, d):
+            t_i = w[:, i]
+            for k in range(i - 1, -1, -1):
+                fam, th = self.pairs[k][i - k - 1]
+                t_i = _HINV[fam](t_i, cond[k], th)
+            cols.append(t_i)
+            if i < d - 1:
+                v = t_i
+                for k in range(i):
+                    fam, th = self.pairs[k][i - k - 1]
+                    v = _H[fam](v, cond[k], th)
+                cond.append(v)
+        us = jnp.stack(cols, axis=1)
+        inv = np.argsort(self.var_order)
+        return us[:, jnp.asarray(inv)]
+
+    def sample(self, n_samples: int, key=0) -> jnp.ndarray:
+        """Samples on the data scale via empirical-marginal inversion."""
+        us = self.sample_uniform(n_samples, key=key)
+        us = jnp.clip(us, 0.5 / self.n, 1.0 - 0.5 / self.n)
+        grid = (jnp.arange(self.n) + 0.5) / self.n
+        cols = [
+            jnp.interp(us[:, j], grid, self._marginals[:, j])
+            for j in range(self.d)
+        ]
+        return jnp.stack(cols, axis=1)

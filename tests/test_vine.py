@@ -1,0 +1,104 @@
+"""C-vine copula tests (reference roadmap item readme.md:49-54)."""
+import jax.numpy as jnp
+import numpy as np
+
+from corrla_rs_tpu.ops.vine import (
+    FAMILIES,
+    _H,
+    _HINV,
+    _LOGPDF,
+    _frank_tau,
+    _frank_theta_from_tau,
+    CVineCopula,
+    kendall_tau,
+)
+
+PARAMS = {"gaussian": 0.6, "clayton": 2.0, "gumbel": 2.0, "frank": 4.0,
+          "independent": 0.0}
+
+
+def test_hinv_roundtrip_all_families(rng):
+    u = jnp.asarray(rng.uniform(0.02, 0.98, 400))
+    v = jnp.asarray(rng.uniform(0.02, 0.98, 400))
+    for fam in FAMILIES:
+        th = PARAMS[fam]
+        w = _H[fam](u, v, th)
+        u2 = _HINV[fam](w, v, th)
+        assert float(jnp.max(jnp.abs(u2 - u))) < 1e-9, fam
+
+
+def test_pdf_is_derivative_of_h(rng):
+    # c(u, v) = d h(u|v) / d u — ties the log-pdfs used for family
+    # selection to the h-functions used for conditioning/sampling
+    u = jnp.asarray(rng.uniform(0.05, 0.95, 300))
+    v = jnp.asarray(rng.uniform(0.05, 0.95, 300))
+    eps = 1e-6
+    for fam in ("gaussian", "clayton", "gumbel", "frank"):
+        th = PARAMS[fam]
+        dh = (_H[fam](u + eps, v, th) - _H[fam](u - eps, v, th)) / (2 * eps)
+        c = jnp.exp(_LOGPDF[fam](u, v, th))
+        rel = jnp.max(jnp.abs(c - dh) / jnp.maximum(jnp.abs(dh), 1e-3))
+        assert float(rel) < 1e-6, fam
+
+
+def test_frank_tau_inversion():
+    for tau in (0.2, 0.5, 0.8, -0.4):
+        th = _frank_theta_from_tau(jnp.asarray(tau))
+        assert abs(float(_frank_tau(jnp.abs(th))) * np.sign(tau) - tau) < 1e-3
+
+
+def test_kendall_tau_known():
+    x = np.arange(50.0)
+    np.testing.assert_allclose(float(kendall_tau(x, x)), 1.0)
+    np.testing.assert_allclose(float(kendall_tau(x, -x)), -1.0)
+
+
+def test_vine_recovers_clayton_pair(rng):
+    # conditional-method Clayton sample -> the pair fit should pick a
+    # lower-tail-dependent family with roughly the right strength
+    th_true = 2.0   # tau = th/(th+2) = 0.5
+    n = 2000
+    u1 = jnp.asarray(rng.uniform(0.001, 0.999, n))
+    w = jnp.asarray(rng.uniform(0.001, 0.999, n))
+    u2 = _HINV["clayton"](w, u1, th_true)
+    x = np.stack([np.asarray(u1), np.asarray(u2)], axis=1)
+    vc = CVineCopula().fit(x)
+    fam, th = vc.pairs[0][0]
+    assert fam == "clayton"
+    assert abs(th - th_true) < 0.5
+    s = np.asarray(vc.sample(4000, key=3))
+    tau_s = float(kendall_tau(s[:, 0], s[:, 1]))
+    assert abs(tau_s - 0.5) < 0.07
+
+
+def test_vine_3d_gaussian_dependence(rng):
+    cov = np.array([[1.0, 0.7, 0.3], [0.7, 1.0, 0.5], [0.3, 0.5, 1.0]])
+    x = rng.multivariate_normal([0.0, 1.0, -2.0], cov, size=1500)
+    vc = CVineCopula().fit(x)
+    s = np.asarray(vc.sample(4000, key=1))
+    for i, j in [(0, 1), (0, 2), (1, 2)]:
+        td = float(kendall_tau(x[:, i], x[:, j]))
+        ts = float(kendall_tau(s[:, i], s[:, j]))
+        assert abs(td - ts) < 0.06, (i, j, td, ts)
+    # empirical marginals preserved
+    np.testing.assert_allclose(
+        np.median(s, axis=0), np.median(x, axis=0), atol=0.15
+    )
+
+
+def test_vine_independent_or_negligible(rng):
+    # On independent data the AIC comparison either selects the
+    # independence copula or fits a negligible dependence (sample tau on
+    # n=800 iid draws is ~N(0, 0.024) — a 2-sigma draw legitimately fits
+    # a tiny copula; both outcomes are correct behavior).
+    x = rng.standard_normal((800, 2))
+    vc = CVineCopula().fit(x)
+    fam, th = vc.pairs[0][0]
+    assert fam == "independent" or abs(th) < 0.15, (fam, th)
+    # and a decisively independent case (penalty beats ll at tau ~ 0)
+    n = 4000
+    xi = np.stack([np.arange(n) % 2, (np.arange(n) // 2) % 2], axis=1)
+    xi = xi + 0.01 * np.random.default_rng(7).standard_normal((n, 2))
+    vc2 = CVineCopula().fit(xi)
+    fam2, th2 = vc2.pairs[0][0]
+    assert fam2 == "independent" or abs(th2) < 0.1, (fam2, th2)
