@@ -19,7 +19,10 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_model", "load_model", "register_model_class"]
+__all__ = [
+    "save_model", "load_model", "register_model_class",
+    "save_dream_state", "load_dream_state",
+]
 
 _REGISTRY: dict[str, type] = {}
 
@@ -84,6 +87,40 @@ def save_model(path: str, model) -> None:
         __class__=np.asarray(type(model).__name__),
         __scalars__=np.asarray(json.dumps(scalars)),
         **arrays,
+    )
+
+
+def save_dream_state(path: str, state) -> None:
+    """Persist a DreamState (ops.dream) — the resume unit for DREAM runs:
+    heads, log-probs, PRNG key, adapted crossover probabilities, jump
+    statistics and the generation counter all round-trip, so a reloaded
+    state continues (or stays frozen) exactly where it left off via
+    ``dream_run(..., init_state=state)``."""
+    import jax
+
+    fields = {f: np.asarray(v) for f, v in state._asdict().items()
+              if f != "key"}
+    fields["key_data"] = np.asarray(jax.random.key_data(state.key))
+    np.savez(path, **fields)
+
+
+def load_dream_state(path: str):
+    """Reload a DreamState saved by ``save_dream_state``."""
+    import jax
+
+    from corrla_rs_tpu.ops.dream import DreamState
+
+    data = np.load(path)
+    key = jax.random.wrap_key_data(jnp.asarray(data["key_data"]))
+    return DreamState(
+        heads=jnp.asarray(data["heads"]),
+        head_lnp=jnp.asarray(data["head_lnp"]),
+        key=key,
+        p_cr=jnp.asarray(data["p_cr"]),
+        jump_dist=jnp.asarray(data["jump_dist"]),
+        n_id=jnp.asarray(data["n_id"]),
+        n_accept=jnp.asarray(data["n_accept"]),
+        t=jnp.asarray(data["t"]),
     )
 
 

@@ -101,3 +101,33 @@ def test_mesh_fitted_model_round_trip(rng, tmp_path):
     pca2 = load_model(path)
     assert pca2._mesh is None
     assert_mat_approx_eq(pca2.apply_tr(x), pca.apply_tr(x), 1e-10)
+
+
+def test_dream_state_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.dream import dream_run
+    from corrla_rs_tpu.utils.checkpoint import (
+        load_dream_state,
+        save_dream_state,
+    )
+
+    def lnp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    heads0 = jnp.asarray(np.random.default_rng(0).standard_normal((10, 2)))
+    _h, state = dream_run(heads0, lnp, 60, key=3, n_adapt=40)
+    p = str(tmp_path / "dream_state.npz")
+    save_dream_state(p, state)
+    state2 = load_dream_state(p)
+    for f in ("heads", "head_lnp", "p_cr", "jump_dist", "n_id",
+              "n_accept", "t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state2, f)), np.asarray(getattr(state, f)), f
+        )
+    # resuming from the reloaded state continues the SAME trajectory as
+    # resuming from the in-memory one (key round-trips exactly)
+    h_a, s_a = dream_run(None, lnp, 20, key=7, n_adapt=40, init_state=state)
+    h_b, s_b = dream_run(None, lnp, 20, key=7, n_adapt=40, init_state=state2)
+    np.testing.assert_array_equal(np.asarray(h_a), np.asarray(h_b))
+    assert int(s_b.t) == 80
