@@ -57,6 +57,11 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.kendall_tau_knight.restype = ctypes.c_double
+        lib.kendall_tau_knight.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -137,3 +142,20 @@ class KdTreeHost:
             self._lib.kdtree_free(self._tree)
         except Exception:
             pass
+
+
+def kendall_tau_host(x, y) -> float:
+    """Kendall's tau via Knight's O(n log n) merge-sort algorithm (C++).
+
+    Tau-b numerator over the tau-a denominator n(n-1)/2 — identical to the
+    device O(n^2) sign-product mean for tie-free data. Use for n beyond
+    the ~20k point range where the (n, n) broadcasted device comparison
+    stops fitting in HBM.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native host runtime unavailable (no g++?)")
+    x = np.ascontiguousarray(x, dtype=np.float64).ravel()
+    y = np.ascontiguousarray(y, dtype=np.float64).ravel()
+    assert x.shape == y.shape
+    return float(lib.kendall_tau_knight(_dptr(x), _dptr(y), x.shape[0]))

@@ -49,8 +49,34 @@ def _clip_u(u):
     return jnp.clip(u, _EPS, 1.0 - _EPS)
 
 
-def kendall_tau(x, y) -> jnp.ndarray:
-    """Kendall's tau-a via the O(n^2) broadcasted sign-product mean."""
+# above this, the O(n^2) broadcasted device comparison stops being the
+# right tool (the (n, n) sign matrices reach ~0.5 GB at 12k points)
+_TAU_DEVICE_MAX_N = 8192
+
+
+def kendall_tau(x, y, method: str = "auto"):
+    """Kendall's tau.
+
+    method='device': O(n^2) broadcasted sign-product mean on the
+    accelerator (VPU-friendly, exact for tie-free data).
+    method='host': Knight's O(n log n) merge-sort algorithm in the C++
+    runtime (native/corrla_host.cpp) — use for large n.
+    method='auto' (default): device up to 8192 points, host beyond when
+    the native runtime is available.
+    """
+    if method == "auto":
+        n = np.asarray(x).shape[0] if not hasattr(x, "shape") else x.shape[0]
+        if n > _TAU_DEVICE_MAX_N:
+            from corrla_rs_tpu import native
+
+            if native.available():
+                method = "host"
+        if method == "auto":
+            method = "device"
+    if method == "host":
+        from corrla_rs_tpu import native
+
+        return native.kendall_tau_host(np.asarray(x), np.asarray(y))
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     sx = jnp.sign(x[:, None] - x[None, :])

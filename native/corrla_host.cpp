@@ -278,4 +278,83 @@ void kdtree_knn(void* tree, const double* queries, int64_t m, int64_t k,
   for (auto& th : team) th.join();
 }
 
+// Kendall's tau via Knight's O(n log n) algorithm (Knight 1966): sort by
+// (x, y), count x-tie and joint-tie pairs, then count swaps (discordant
+// pairs) as merge-sort inversions of the y sequence, and y-tie pairs from
+// the y-sorted sequence. Returns tau-b numerator / n0 with the tau-a
+// denominator n0 = n(n-1)/2 — identical to the device O(n^2)
+// sign-product mean for tie-free data, and its natural tie-aware
+// extension otherwise.
+static int64_t merge_count(std::vector<double>& a, std::vector<double>& buf,
+                           int64_t lo, int64_t hi) {
+  if (hi - lo < 2) return 0;
+  int64_t mid = (lo + hi) / 2;
+  int64_t inv = merge_count(a, buf, lo, mid) + merge_count(a, buf, mid, hi);
+  int64_t i = lo, j = mid, k = lo;
+  while (i < mid && j < hi) {
+    if (a[j] < a[i]) {   // strict: equal keys are NOT inversions
+      buf[k++] = a[j++];
+      inv += mid - i;
+    } else {
+      buf[k++] = a[i++];
+    }
+  }
+  while (i < mid) buf[k++] = a[i++];
+  while (j < hi) buf[k++] = a[j++];
+  std::copy(buf.begin() + lo, buf.begin() + hi, a.begin() + lo);
+  return inv;
+}
+
+double kendall_tau_knight(const double* x, const double* y, int64_t n) {
+  if (n < 2) return 0.0;
+  std::vector<int64_t> idx(n);
+  std::iota(idx.begin(), idx.end(), 0);
+  std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+    if (x[a] != x[b]) return x[a] < x[b];
+    return y[a] < y[b];
+  });
+  // tie counts over the (x, y)-sorted order
+  int64_t n1 = 0, n3 = 0;
+  {
+    int64_t tx = 1, txy = 1;
+    for (int64_t i = 1; i < n; ++i) {
+      bool same_x = x[idx[i]] == x[idx[i - 1]];
+      bool same_xy = same_x && y[idx[i]] == y[idx[i - 1]];
+      if (same_x) {
+        ++tx;
+      } else {
+        n1 += tx * (tx - 1) / 2;
+        tx = 1;
+      }
+      if (same_xy) {
+        ++txy;
+      } else {
+        n3 += txy * (txy - 1) / 2;
+        txy = 1;
+      }
+    }
+    n1 += tx * (tx - 1) / 2;
+    n3 += txy * (txy - 1) / 2;
+  }
+  std::vector<double> ys(n), buf(n);
+  for (int64_t i = 0; i < n; ++i) ys[i] = y[idx[i]];
+  int64_t swaps = merge_count(ys, buf, 0, n);  // ys ends up sorted
+  int64_t n2 = 0;
+  {
+    int64_t ty = 1;
+    for (int64_t i = 1; i < n; ++i) {
+      if (ys[i] == ys[i - 1]) {
+        ++ty;
+      } else {
+        n2 += ty * (ty - 1) / 2;
+        ty = 1;
+      }
+    }
+    n2 += ty * (ty - 1) / 2;
+  }
+  const double n0 = 0.5 * static_cast<double>(n) * (n - 1);
+  const double s = n0 - n1 - n2 + n3 - 2.0 * static_cast<double>(swaps);
+  return s / n0;
+}
+
 }  // extern "C"

@@ -70,3 +70,34 @@ def test_kdtree_matches_device_knn(rng):
     d_d, i_d = knn(jnp.asarray(qs), jnp.asarray(pts), 5)
     np.testing.assert_array_equal(i_h, np.asarray(i_d))
     np.testing.assert_allclose(d_h, np.asarray(d_d), rtol=1e-6)
+
+
+def test_kendall_tau_knight_matches_device(rng):
+    from corrla_rs_tpu import native
+    from corrla_rs_tpu.ops.vine import kendall_tau
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    x = rng.standard_normal(3000)
+    y = 0.6 * x + 0.8 * rng.standard_normal(3000)
+    t_dev = float(kendall_tau(x, y, method="device"))
+    t_host = native.kendall_tau_host(x, y)
+    assert abs(t_dev - t_host) < 1e-9
+    # ties handled (tau-b numerator / tau-a denominator, like the device
+    # sign-product mean which scores tied pairs 0)
+    xi = np.repeat(np.arange(60.0), 4)
+    yi = xi.copy()
+    t = native.kendall_tau_host(xi, yi)
+    t_dev2 = float(kendall_tau(xi, yi, method="device"))
+    assert abs(t - t_dev2) < 1e-9
+    # large-n auto dispatch picks the host path and agrees statistically
+    n = 60_000
+    xb = rng.standard_normal(n)
+    yb = 0.5 * xb + np.sqrt(1 - 0.25) * rng.standard_normal(n)
+    tau_big = float(kendall_tau(xb, yb, method="auto"))
+    import math
+
+    expected = 2.0 / math.pi * math.asin(0.5)  # Greiner's relation
+    assert abs(tau_big - expected) < 0.01
