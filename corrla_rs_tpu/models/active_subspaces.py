@@ -39,6 +39,25 @@ ASS_N_ITER = ActiveSsConfig().n_iter
 ASS_N_OVERSAMPLES = ActiveSsConfig().n_oversamples
 
 
+@functools.partial(jax.jit, static_argnames=("est_order",))
+def local_poly_grads(x_nbr, y_nbr, x_query, est_order: int) -> jnp.ndarray:
+    """Vmapped local polynomial gradient fits over gathered neighborhoods.
+
+    x_nbr: (n_q, n_nbrs, k), y_nbr: (n_q, n_nbrs, 1), x_query: (n_q, k).
+    """
+    if est_order == 1:
+        def one(xn, yn, _x0):
+            return jac_from_lin(xn, yn)[0]
+    elif est_order == 2:
+        def one(xn, yn, x0):
+            coeffs = quad_fit(xn, yn)
+            return jac_from_quad(x0[None, :], coeffs)[0]
+    else:
+        raise NotImplementedError(f"Not implemented est order: {est_order}")
+
+    return jax.vmap(one)(x_nbr, y_nbr, x_query)
+
+
 @functools.partial(
     jax.jit, static_argnames=("est_order", "n_nbrs", "query_chunk")
 )
@@ -55,18 +74,7 @@ def batched_grad_est(x_support, y_support, x_query, est_order: int,
     _d, idx = knn(x_query, x_support, n_nbrs, query_chunk=query_chunk)
     x_nbr = x_support[idx]            # (n_q, n_nbrs, k)
     y_nbr = y_support[idx]            # (n_q, n_nbrs, 1)
-
-    if est_order == 1:
-        def one(xn, yn, _x0):
-            return jac_from_lin(xn, yn)[0]
-    elif est_order == 2:
-        def one(xn, yn, x0):
-            coeffs = quad_fit(xn, yn)
-            return jac_from_quad(x0[None, :], coeffs)[0]
-    else:
-        raise NotImplementedError(f"Not implemented est order: {est_order}")
-
-    return jax.vmap(one)(x_nbr, y_nbr, x_query)
+    return local_poly_grads(x_nbr, y_nbr, x_query, est_order)
 
 
 class PolyGradientEstimator:
@@ -78,7 +86,7 @@ class PolyGradientEstimator:
     """
 
     def __init__(self, x_mat, y, est_order: int, n_nbrs: int,
-                 query_chunk: int | None = None):
+                 query_chunk: int | None = None, backend: str = "device"):
         self.query_chunk = query_chunk
         self.x_mat = jnp.asarray(x_mat)
         self.y = jnp.asarray(y)
@@ -95,6 +103,17 @@ class PolyGradientEstimator:
             need = self.k * (self.k + 3) // 2
         assert n > need, f"need > {need} samples for order {self.est_order}"
         assert self.n_nbrs > need, f"need n_nbrs > {need}"
+        # backend='native': exact C++ kd-tree kNN on host (O(n log n) per
+        # query vs the device's O(n) dense pass) + device-vmapped local
+        # fits. Wins when the support cloud is huge; the device path stays
+        # fully jittable/shardable and is the default.
+        self.backend = backend
+        if backend == "native":
+            from corrla_rs_tpu.native import KdTreeHost
+
+            self._tree = KdTreeHost(self.x_mat)
+        elif backend != "device":
+            raise ValueError(f"unknown backend {backend!r}")
 
     def grad_at(self, x0) -> jnp.ndarray:
         """Gradient row (1, k) at a single point. active_subspaces.rs:52-62."""
@@ -103,8 +122,17 @@ class PolyGradientEstimator:
 
     def grad_batch(self, x_query) -> jnp.ndarray:
         """Gradients at many points at once: (n_query, k)."""
+        xq = jnp.asarray(x_query)
+        if self.backend == "native":
+            import numpy as np
+
+            _d, idx = self._tree.query(np.asarray(xq), self.n_nbrs)
+            idx = jnp.asarray(idx)
+            return local_poly_grads(
+                self.x_mat[idx], self.y[idx], xq, self.est_order
+            )
         return batched_grad_est(
-            self.x_mat, self.y, jnp.asarray(x_query), self.est_order,
+            self.x_mat, self.y, xq, self.est_order,
             self.n_nbrs, self.query_chunk,
         )
 

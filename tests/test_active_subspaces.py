@@ -131,3 +131,27 @@ def test_active_ss_public_surface():
     assert comps.shape == (10, 8)
     assert vals.shape == (10, 8)
     assert sensi.shape == (10,)
+
+
+def test_native_backend_matches_device(rng):
+    from corrla_rs_tpu import native
+    from corrla_rs_tpu.models.active_subspaces import (
+        ActiveSsRsvd,
+        PolyGradientEstimator,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    x = rng.uniform(-1.0, 1.0, (400, 3))
+    y = 0.1 * x[:, 0] + 5.0 * x[:, 1] + 0.3 * x[:, 2]
+    ge_d = PolyGradientEstimator(jnp.asarray(x), jnp.asarray(y), 1, 12)
+    ge_n = PolyGradientEstimator(jnp.asarray(x), jnp.asarray(y), 1, 12,
+                                 backend="native")
+    g_d = np.asarray(ge_d.grad_batch(jnp.asarray(x[:50])))
+    g_n = np.asarray(ge_n.grad_batch(jnp.asarray(x[:50])))
+    # identical neighborhoods (exact kNN both ways) -> identical fits
+    np.testing.assert_allclose(g_n, g_d, rtol=1e-8, atol=1e-10)
+    f = ActiveSsRsvd(ge_n, 2).fit(jnp.asarray(x))
+    assert int(np.abs(np.asarray(f.components)[:, 0]).argmax()) == 1
