@@ -73,8 +73,10 @@ def main():
     sync(run(a))
     sync(run(a))
 
+    # min over 5 reps: wall times on this tunneled runtime carry ±30%
+    # jitter with occasional large outliers; min is the honest steady-state
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         sync(run(a))
         times.append(time.perf_counter() - t0)

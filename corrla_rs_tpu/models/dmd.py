@@ -91,7 +91,7 @@ def _dmdc_reduce_kernel(x_data, u_data, n_x, n_u, n_modes, n_iters,
     tmp_modes_scale = mm(
         mm(mm(mm(y_out, v_til), pinv_diag(s_til_diag)), u_til_1.T), u_hat
     )
-    return a_til, b_op, tmp_modes_scale
+    return a_til, b_op, tmp_modes_scale, u_hat
 
 
 @jax.jit
@@ -113,6 +113,25 @@ def _rollout(a_op, b_op, x0, u_seq):
 
     _, xs = lax.scan(step, x0, u_seq.T)
     return xs.T  # (n_x, n_times)
+
+
+@jax.jit
+def _rollout_reduced(u_hat, a_til, b_op, x0, u_seq):
+    """Eig-free rollout in the reduced basis:
+    x_{t+1} = U_hat (A~ (U_hat^T x_t)) + B u_t — fully on-device (no host
+    eigendecomposition anywhere in the chain), O(n_x * r) per step. This
+    is the standard projected DMDc surrogate; it matches the
+    eigendecomposition-based rollout to fp precision whenever the
+    dynamics are captured by the reduced basis (tested on the reference
+    fixture), and avoids the host sync entirely."""
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+
+    def step(x, u_col):
+        x_next = mm(u_hat, mm(a_til, mm(u_hat.T, x))) + mm(b_op, u_col[:, None])
+        return x_next, x_next[:, 0]
+
+    _, xs = lax.scan(step, x0, u_seq.T)
+    return xs.T
 
 
 @jax.jit
@@ -171,7 +190,7 @@ class DMDc:
         # LAPACK (TPU/XLA has no nonsymmetric eig, and this environment's
         # PJRT plugin rejects pure_callback — ops.eig.eig_host runs eagerly
         # between the two jitted stages); stage 2 back on device.
-        self._A, self._B, tmp_modes_scale = _dmdc_reduce_kernel(
+        self._A, self._B, tmp_modes_scale, self._u_hat = _dmdc_reduce_kernel(
             x, u, self.n_x, self.n_u, self.n_modes, int(n_iters),
             int(cfg.n_oversamples), as_key(key),
         )
@@ -235,6 +254,9 @@ class DMDc:
         method='modes' applies A in factored form (O(n_x * r) per step,
         never materializing the dense (n_x, n_x) operator) — use for large
         state dimensions; numerically identical up to fp rounding.
+        method='reduced' rolls in the POD basis U_hat A~ U_hat^T — also
+        O(n_x * r) and the only variant with NO host eigendecomposition
+        anywhere in its chain (fully on-device end to end).
         """
         x0 = jnp.asarray(x_0)
         u = jnp.asarray(u_seq)
@@ -245,4 +267,6 @@ class DMDc:
                 self.modes_re, self.modes_im, self._w_re, self._w_im,
                 self._B, x0, u,
             )
+        if method == "reduced":
+            return _rollout_reduced(self._u_hat, self._A, self._B, x0, u)
         return _rollout(self.est_a_til(), self._B, x0, u)

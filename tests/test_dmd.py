@@ -162,3 +162,15 @@ def test_dmdc_multiple_control_inputs():
     pred_over = over.predict_multiple(x0, jnp.asarray(u))
     assert bool(jnp.all(jnp.isfinite(pred_over)))
     assert float(jnp.max(jnp.abs(pred_over))) < 1e3  # bounded, no blow-up
+
+def test_reduced_rollout_matches_dense():
+    # the eig-free on-device rollout (method='reduced') agrees with the
+    # eigendecomposition-based dense rollout on the reference fixture
+    p, u = _sine_fixture(50, 40)
+    model = DMDc(p, u, n_modes=14, n_iters=40)
+    x0 = p[:, 0:1]
+    dense = model.predict_multiple(x0, u)
+    red = model.predict_multiple(x0, u, method="reduced")
+    assert_mat_approx_eq(red[:, :25], dense[:, :25], 1e-4)
+    # and it is accurate vs truth at the reference tolerance
+    assert_mat_approx_eq(red[:, 19:20], p[:, 20:21], 5e-2)
