@@ -47,7 +47,11 @@ from corrla_rs_tpu.ops.diagnostics import effective_sample_size, gelman_rubin
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.gp import GpRegressor
 from corrla_rs_tpu.ops.interp import RbfInterp
-from corrla_rs_tpu.ops.random_svd import random_svd, power_iter
+from corrla_rs_tpu.ops.random_svd import (
+    block_krylov_svd,
+    power_iter,
+    random_svd,
+)
 from corrla_rs_tpu.ops.samplers import DeMcSampler, constr_dirichlet_sample
 from corrla_rs_tpu.ops.univariate_rv import (
     BetaRv,
@@ -83,6 +87,7 @@ __all__ = [
     "cs_mcmc_dirichlet_sample",
     "random_svd",
     "power_iter",
+    "block_krylov_svd",
     "PcaRsvd",
     "PodI",
     "DMDc",

@@ -38,7 +38,7 @@ from jax import lax
 from corrla_rs_tpu.ops.mat_utils import PRECISION
 from corrla_rs_tpu.utils.prng import as_key
 
-__all__ = ["power_iter", "random_svd"]
+__all__ = ["power_iter", "random_svd", "block_krylov_svd"]
 
 
 def _householder_qr(y: jnp.ndarray) -> jnp.ndarray:
@@ -207,5 +207,68 @@ def random_svd(
 
     if fat:
         # A = (V) S (Q U_B)^T   since A^T ~= (Q U_B) S V^T
+        return vt.T[:, :rank], s[:rank], u.T[:rank, :]
+    return u[:, :rank], s[:rank], vt[:rank, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rank", "n_iter", "n_oversamples", "precision"),
+)
+def block_krylov_svd(
+    a: jnp.ndarray,
+    rank: int,
+    n_iter: int,
+    n_oversamples: int = 10,
+    key=0,
+    precision=PRECISION,
+):
+    """Randomized block-Krylov SVD (Musco & Musco 2015, arxiv 1504.05477).
+
+    EXTENSION beyond the reference (which only has subspace iteration,
+    random_svd.rs:15-59): instead of keeping only the last power iterate
+    (A A^T)^q A Omega, retain the whole Krylov block
+
+        K = [A Omega, (A A^T) A Omega, ..., (A A^T)^q A Omega]
+
+    and take the range of K. Same number of passes over A as ``n_iter``
+    subspace iterations, but convergence ~1/sqrt(eps) iterations instead
+    of ~1/eps — on gapless spectra (where subspace iteration stalls) the
+    sigma error at a fixed pass budget is typically an order of magnitude
+    smaller (see tests/test_random_svd.py for the measured comparison).
+    Cost: the final QR/SVD run on an (n, k*(q+1)) block instead of (n, k)
+    — the right trade when passes over A dominate, i.e. tall matrices on
+    HBM-bound hardware.
+
+    Returns (U (n, rank), s (rank,), Vt (rank, m)) like ``random_svd``.
+    """
+    key = as_key(key)
+    fat = a.shape[0] < a.shape[1]
+    aa = a.T if fat else a
+    n, m = aa.shape
+    k = min(rank + n_oversamples, m)
+    q = max(int(n_iter), 0)
+
+    omega = jax.random.normal(key, (m, k), dtype=aa.dtype)
+    y = jnp.matmul(aa, omega, precision=precision)
+
+    def body(i, carry):
+        y, blocks = carry
+        # orthonormalize the running block for numerical range quality
+        y = _cholesky_qr2(y)
+        z = jnp.matmul(aa.T, y, precision=precision)
+        y = jnp.matmul(aa, z, precision=precision)
+        blocks = lax.dynamic_update_slice_in_dim(blocks, y, (i + 1) * k, 1)
+        return y, blocks
+
+    blocks0 = jnp.zeros((n, k * (q + 1)), aa.dtype)
+    blocks0 = lax.dynamic_update_slice_in_dim(blocks0, y, 0, 1)
+    _y, blocks = lax.fori_loop(0, q, body, (y, blocks0))
+
+    q_full = _thin_qr(blocks, "householder")
+    b = jnp.matmul(q_full.T, aa, precision=PRECISION)
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q_full, u_b, precision=PRECISION)
+    if fat:
         return vt.T[:, :rank], s[:rank], u.T[:rank, :]
     return u[:, :rank], s[:rank], vt[:rank, :]

@@ -111,3 +111,31 @@ def test_rsvd_jit_under_vmap(rng):
     for i in range(4):
         s_exact = np.linalg.svd(np.asarray(batch[i]), compute_uv=False)
         np.testing.assert_allclose(np.asarray(s_batch[i]), s_exact[:3], rtol=1e-6)
+
+
+def test_block_krylov_beats_subspace_iteration(rng):
+    from corrla_rs_tpu.ops.random_svd import block_krylov_svd
+
+    # gapless Gaussian spectrum at a fixed pass budget: the Krylov block
+    # must be strictly more accurate than plain subspace iteration
+    # (Musco & Musco 2015); measured ~5x at q=4 on this fixture
+    a = jnp.asarray(rng.standard_normal((2000, 400)))
+    s_exact = np.linalg.svd(np.asarray(a), compute_uv=False)[:20]
+    _u, s_si, _ = random_svd(a, 20, 4, 10, key=1, stabilize="always")
+    _u, s_bk, _ = block_krylov_svd(a, 20, 4, 10, key=1)
+    e_si = np.max(np.abs(np.asarray(s_si) - s_exact) / s_exact)
+    e_bk = np.max(np.abs(np.asarray(s_bk) - s_exact) / s_exact)
+    assert e_bk < e_si / 2.0, (e_si, e_bk)
+
+
+def test_block_krylov_exact_on_lowrank(rng):
+    from corrla_rs_tpu.ops.random_svd import block_krylov_svd
+
+    b = rng.standard_normal((300, 8)) @ rng.standard_normal((8, 60))
+    u, s, vt = block_krylov_svd(jnp.asarray(b), 8, 3, 6, key=2)
+    rec = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    np.testing.assert_allclose(rec, b, atol=1e-10)
+    # fat transpose path
+    u2, s2, vt2 = block_krylov_svd(jnp.asarray(b.T), 8, 3, 6, key=2)
+    assert u2.shape == (60, 8) and vt2.shape == (8, 300)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-10)
