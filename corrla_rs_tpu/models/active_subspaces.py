@@ -241,6 +241,60 @@ class ActiveSsRsvd:
         sorted_vals, sorted_vecs = sort_evd(eigs, eigvs)
         return FittedActiveSsRsvd(sorted_vecs, sorted_vals, self.n_comps)
 
+    def fit_bootstrap(self, x_mat, n_boot: int = 100, key=0, mesh=None):
+        """Bootstrap intervals for the active-subspace eigenvalues and the
+        subspace estimate (Constantine, "Active Subspace Methods", 2015,
+        ch. 3 practice — the reference has no uncertainty story at all).
+
+        Resamples the N gradient columns with replacement ``n_boot`` times;
+        each replicate's C = G_b G_b^T / N eigendecomposition runs as one
+        vmapped ``eigh`` (all replicates in a single device dispatch).
+
+        Returns a dict with:
+          eig_lo / eig_hi: 2.5 / 97.5 percentile eigenvalue bands (k,)
+          eigs: point-estimate eigenvalues (k,)
+          subspace_dist: (n_boot,) spectral-norm distances
+            ||W W^T - W_b W_b^T||_2 between each replicate's leading
+            n_comps subspace and the point estimate — the Constantine
+            diagnostic for choosing the subspace dimension.
+        """
+        x = jnp.asarray(x_mat)
+        if mesh is not None:
+            x = self._shard_queries(x, mesh)
+        g = self.create_grad_mat(x)                   # (k, N)
+        n = g.shape[1]
+        n_comps = self.n_comps
+
+        c0 = jnp.matmul(g, g.T, precision=PRECISION) / n
+        eigs0, vecs0 = jnp.linalg.eigh(c0)
+        vals0, w0 = sort_evd(eigs0, vecs0)
+        w0 = w0[:, :n_comps]
+
+        idx = jax.random.randint(as_key(key), (int(n_boot), n), 0, n)
+
+        def one(ix):
+            gb = g[:, ix]
+            cb = jnp.matmul(gb, gb.T, precision=PRECISION) / n
+            eb, vb = jnp.linalg.eigh(cb)
+            vals_b, w_b = sort_evd(eb, vb)
+            proj = (
+                jnp.matmul(w0, w0.T, precision=PRECISION)
+                - jnp.matmul(
+                    w_b[:, :n_comps], w_b[:, :n_comps].T, precision=PRECISION
+                )
+            )
+            dist = jnp.linalg.norm(proj, ord=2)
+            return jnp.diagonal(vals_b), dist
+
+        eigs_b, dists = jax.vmap(one)(idx)            # (n_boot, k), (n_boot,)
+        lo, hi = jnp.percentile(eigs_b, jnp.asarray([2.5, 97.5]), axis=0)
+        return {
+            "eigs": jnp.diagonal(vals0),
+            "eig_lo": lo,
+            "eig_hi": hi,
+            "subspace_dist": dists,
+        }
+
     def fit_svd(self, x_mat, n_iter: int | None = None,
                 n_oversamples: int | None = None, key=0,
                 mesh=None) -> FittedActiveSsRsvd:

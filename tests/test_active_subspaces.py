@@ -155,3 +155,26 @@ def test_native_backend_matches_device(rng):
     np.testing.assert_allclose(g_n, g_d, rtol=1e-8, atol=1e-10)
     f = ActiveSsRsvd(ge_n, 2).fit(jnp.asarray(x))
     assert int(np.abs(np.asarray(f.components)[:, 0]).argmax()) == 1
+
+
+def test_fit_bootstrap_intervals(rng):
+    from corrla_rs_tpu.models.active_subspaces import (
+        ActiveSsRsvd,
+        PolyGradientEstimator,
+    )
+
+    x = rng.uniform(-1.0, 1.0, (300, 3))
+    y = 0.1 * x[:, 0] + 5.0 * x[:, 1] + 0.3 * x[:, 2]
+    ge = PolyGradientEstimator(jnp.asarray(x), jnp.asarray(y), 1, 12)
+    est = ActiveSsRsvd(ge, 1)
+    out = est.fit_bootstrap(jnp.asarray(x), n_boot=64, key=5)
+    eigs = np.asarray(out["eigs"])
+    lo, hi = np.asarray(out["eig_lo"]), np.asarray(out["eig_hi"])
+    # point estimates inside their own bootstrap bands
+    assert (lo <= eigs + 1e-12).all() and (eigs <= hi + 1e-12).all()
+    # the dominant eigenvalue is clearly separated from the rest
+    assert lo[0] > hi[1]
+    # the 1-D active subspace is stable under resampling (strong signal)
+    d = np.asarray(out["subspace_dist"])
+    assert d.shape == (64,)
+    assert np.median(d) < 0.05
