@@ -157,11 +157,17 @@ class DMDc:
     n_iters)`` with dt fixed at 1.0 like the binding (lib_math_utils_py.rs:269).
 
     x_data: (n_x, n_t) snapshot columns; u_data: (n_u, n_t) control columns.
+
+    eig_backend: 'host' (default — host LAPACK for the tiny r x r
+    nonsymmetric eigensolve, eager between the two jitted stages) or
+    'device' (ops/eig_device's pure-JAX Francis-QR Schur solver — the fit
+    runs end-to-end on device with no host sync; same API surface, f32
+    eigenvalues accurate to ~eps*||A~||*cond like any QR method).
     """
 
     def __init__(self, x_data, u_data, n_modes: int, n_iters: int,
                  dt: float | None = None, key=0, mesh=None,
-                 config: DmdConfig | None = None):
+                 config: DmdConfig | None = None, eig_backend: str = "host"):
         cfg = config or DmdConfig()
         x = jnp.asarray(x_data)
         u = jnp.asarray(u_data)
@@ -194,6 +200,34 @@ class DMDc:
             x, u, self.n_x, self.n_u, self.n_modes, int(n_iters),
             int(cfg.n_oversamples), as_key(key),
         )
+        if eig_backend == "device":
+            # Fully on-device eigendecomposition (ops/eig_device: implicit
+            # Francis QR -> real Schur + batched inverse iteration) — no
+            # host sync anywhere in the fit chain, so the whole constructor
+            # pipeline can run inside jit/pjit programs and batch under
+            # vmap. Complex algebra is carried as (re, im) real pairs.
+            from corrla_rs_tpu.ops.eig_device import eig_device
+            from corrla_rs_tpu.ops.mat_utils import pinv_comp_parts
+
+            lam_re, lam_im, w_re, w_im = eig_device(self._A)
+            self.modes_re, self.modes_im = _dmdc_modes_kernel(
+                tmp_modes_scale, w_re, w_im
+            )
+            self._a_full = None
+            # W = diag(lambda) Phi^+ via the real-embedded complex pinv
+            # (rank-cutoff semantics matching _pinv_complex_np)
+            p_re, p_im = pinv_comp_parts(self.modes_re, self.modes_im)
+            self._w_re = lam_re[:, None] * p_re - lam_im[:, None] * p_im
+            self._w_im = lam_re[:, None] * p_im + lam_im[:, None] * p_re
+            # public surface parity: lambdas is a host numpy complex array
+            # in both backends (one small stacked fetch)
+            both = np.asarray(jnp.stack([lam_re, lam_im]))
+            self.lambdas = both[0] + 1j * both[1]
+            return
+        if eig_backend != "host":
+            raise ValueError(
+                f"eig_backend must be 'host' or 'device', got {eig_backend!r}"
+            )
         lam, w = eig_host(self._A)
         # lambdas stay a host numpy array: TPU devices have no complex dtype
         self.lambdas = lam

@@ -17,6 +17,13 @@ LAPACK. Two paths:
   This is what DMDc uses (models/dmd.py), keeping complex algebra off
   devices that cannot represent it.
 
+There is also a third, fully on-device path with neither callbacks nor
+complex dtypes: ``ops.eig_device`` (real Schur form via an implicit
+Francis double-shift QR written in pure JAX, eigenvectors via batched
+inverse iteration). It is jit- and vmap-safe on EVERY backend including
+this TPU; its outputs are (re, im) real pairs rather than complex arrays.
+``eig_device``/``eigvals_device``/``schur`` are re-exported here.
+
 Symmetric problems (active_subspaces' C = G G^T / N, active_subspaces.rs:260)
 do NOT use this: ``jnp.linalg.eigh`` is native on TPU and is used there.
 """
@@ -26,7 +33,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["eig", "eig_host", "jittable_eig_supported"]
+from corrla_rs_tpu.ops.eig_device import (  # noqa: F401  (re-exports)
+    eig_device,
+    eigvals_device,
+    schur,
+)
+
+__all__ = [
+    "eig", "eig_host", "jittable_eig_supported",
+    "eig_device", "eigvals_device", "schur",
+]
 
 _JITTABLE_OK: dict[str, bool] = {}
 
@@ -98,8 +114,10 @@ def eig(a):
             raise NotImplementedError(
                 "eig() was traced (called under jit/vmap) but this backend "
                 f"({jax.default_backend()}) supports neither host callbacks "
-                "nor complex device dtypes. Call eig_host() eagerly between "
-                "jitted stages instead (see models/dmd.py for the pattern)."
+                "nor complex device dtypes. Use eig_device() (fully "
+                "on-device, returns (re, im) real pairs — jit/vmap-safe on "
+                "every backend), or call eig_host() eagerly between jitted "
+                "stages (see models/dmd.py for the pattern)."
             )
         return _eig_callback(a)
     if jittable_eig_supported():

@@ -1,0 +1,425 @@
+"""On-device nonsymmetric eigendecomposition (real Schur QR algorithm).
+
+TPU/XLA has no nonsymmetric ``eig`` lowering and this environment's TPU
+runtime rejects both host callbacks and complex device dtypes, so the
+reference's complex eigensolve (dmd_rom.rs:112-125, faer
+``Eigendecomposition<c64>``) has so far run on host LAPACK between jitted
+stages (ops/eig.eig_host). This module removes that limitation with a
+pure-JAX implementation that is **jit-safe, vmap-able, and complex-free**
+(eigenvalues and eigenvectors are returned as separate real/imaginary
+parts, so it runs on backends with no complex dtype support at all):
+
+- ``hessenberg``: Householder reduction to upper Hessenberg form.
+- ``schur``: real Schur form via the implicit Francis double-shift QR
+  algorithm with bulge chasing — the same algorithm family as LAPACK's
+  ``dlahqr``, re-expressed with static shapes (masked active window,
+  ``lax.while_loop`` over sweeps, ``lax.fori_loop`` bulge chase) so XLA
+  can compile it for any backend.
+- ``eigvals``: eigenvalues of the quasi-triangular Schur factor (1x1
+  blocks directly, 2x2 blocks via the quadratic formula).
+- ``eig_device``: eigenvalues + right eigenvectors; eigenvectors via two
+  rounds of batched inverse iteration, solving the complex system
+  (A - lambda I) v = b through its real 2n x 2n embedding
+  [[A - re(l) I, im(l) I], [-im(l) I, A - re(l) I]] with one batched LU.
+
+Intended regime: the small dense matrices this library actually
+eigensolves (DMDc's r x r reduced operator, r <= a few hundred). The QR
+iteration is sequential (O(n) sweeps of O(n) chase steps), so a single
+eager call is slower than host LAPACK — its value is *composability*:
+it runs inside jit/pjit pipelines with no host sync, and under ``vmap``
+the whole iteration batches, making B eigendecompositions cost roughly
+one (bootstrap DMD spectra, parameter sweeps).
+
+Known limits (documented, tested): eigenvalues of a non-normal matrix
+are obtained to ~eps*||A||*cond accuracy like any QR method; clustered
+eigenvalues may yield nearly-dependent eigenvectors from inverse
+iteration (the same caveat as LAPACK's xHSEIN); no balancing pass.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["hessenberg", "schur", "eigvals_device", "eig_device"]
+
+
+def _eps(dtype) -> float:
+    return float(jnp.finfo(dtype).eps)
+
+
+# ---------------------------------------------------------------------------
+# Hessenberg reduction
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def hessenberg(a: jnp.ndarray):
+    """Reduce a real square matrix to upper Hessenberg form.
+
+    Returns ``(h, q)`` with ``q @ h @ q.T == a`` and ``q`` orthogonal.
+    Householder reflectors under a ``fori_loop`` (one per column, applied
+    as rank-1 updates so the loop body is all matmul-class work).
+    """
+    n = a.shape[-1]
+    dtype = a.dtype
+    if n <= 2:
+        return a, jnp.eye(n, dtype=dtype)
+    idx = jnp.arange(n)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def body(k, carry):
+        h, q = carry
+        col = h[:, k]
+        xm = jnp.where(idx >= k + 1, col, 0)
+        sigma = jnp.linalg.norm(xm)
+        x1 = col[k + 1]
+        sign = jnp.where(x1 >= 0, 1.0, -1.0).astype(dtype)
+        alpha = -sign * sigma
+        e = (idx == k + 1).astype(dtype)
+        v = xm - alpha * e
+        vn = jnp.linalg.norm(v)
+        v = jnp.where(vn > tiny, v / jnp.maximum(vn, tiny), 0.0)
+        # P = I - 2 v v^T ; similarity P H P and accumulation Q P
+        h = h - 2.0 * jnp.outer(v, jnp.matmul(v, h))
+        h = h - 2.0 * jnp.outer(jnp.matmul(h, v), v)
+        q = q - 2.0 * jnp.outer(jnp.matmul(q, v), v)
+        return h, q
+
+    h, q = lax.fori_loop(0, n - 2, body, (a, jnp.eye(n, dtype=dtype)))
+    # enforce exact Hessenberg structure (below-subdiagonal entries are
+    # O(eps) arithmetic residue of the reflector applications)
+    h = jnp.where(idx[:, None] <= idx[None, :] + 1, h, 0.0)
+    return h, q
+
+
+# ---------------------------------------------------------------------------
+# Francis double-shift QR -> real Schur form
+# ---------------------------------------------------------------------------
+
+def _house3(x, y, z, dtype):
+    """3-element Householder: returns (v, beta) with P = I - beta v v^T
+    mapping [x, y, z] to [~, 0, 0]. Degenerates cleanly: z == 0 gives
+    v[2] == 0 (P leaves the third row/column alone); x=y=z=0 gives P = I.
+    """
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    # scale to avoid overflow in the squares
+    scale = jnp.maximum(jnp.abs(x) + jnp.abs(y) + jnp.abs(z), tiny)
+    xs, ys, zs = x / scale, y / scale, z / scale
+    s = jnp.sqrt(xs * xs + ys * ys + zs * zs)
+    sign = jnp.where(xs >= 0, 1.0, -1.0).astype(dtype)
+    alpha = -sign * s
+    v0 = xs - alpha
+    v = jnp.stack([v0, ys, zs])
+    vn2 = jnp.sum(v * v)
+    beta = jnp.where(vn2 > tiny, 2.0 / jnp.maximum(vn2, tiny), 0.0)
+    return v, beta
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def schur(a: jnp.ndarray, max_iters: int | None = None):
+    """Real Schur decomposition ``a = q @ t @ q.T`` (q orthogonal, t
+    quasi-upper-triangular with 1x1 and 2x2 diagonal blocks).
+
+    Implicit Francis double-shift QR with bulge chasing on the Hessenberg
+    form, static shapes throughout: the active window [lo..p] is tracked
+    as integers in the ``while_loop`` carry, reflectors are applied as
+    3-row/3-column dynamic-slice updates on arrays padded by 2 (so the
+    chase needs no boundary special-casing — beyond-window reads are
+    structural zeros and the reflector's third component degenerates to
+    zero there). Exceptional shifts every 10 stalled sweeps break the
+    rare cycles, exactly like LAPACK dlahqr.
+
+    2x2 diagonal blocks are left unstandardized: a terminal 2x2 window is
+    accepted as a block whether its eigenvalues are real or complex
+    (``eigvals_device`` resolves both via the quadratic formula). This is
+    the only deviation from the LAPACK convention (which splits real
+    pairs), and it does not affect eigenvalues, similarity, or
+    quasi-triangularity.
+
+    Returns ``(t, q, converged)``; ``converged`` is a scalar bool (False
+    only if ``max_iters`` sweeps did not deflate every eigenvalue — the
+    documented LAPACK-style failure mode, vanishingly rare with
+    exceptional shifts).
+    """
+    n = a.shape[-1]
+    dtype = a.dtype
+    if n == 1:
+        return a, jnp.ones((1, 1), dtype), jnp.asarray(True)
+    eps = _eps(dtype)
+    if max_iters is None:
+        max_iters = 40 * n
+
+    # pre-scale so squares in shift/reflector arithmetic cannot overflow
+    anorm = jnp.max(jnp.abs(a))
+    safe = jnp.maximum(anorm, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    h0, q0 = hessenberg(a / safe)
+
+    if n == 2:
+        t = h0 * safe
+        return t, q0, jnp.asarray(True)
+
+    n2 = n + 2
+    hp = jnp.zeros((n2, n2), dtype).at[:n, :n].set(h0)
+    qp = jnp.zeros((n, n2), dtype).at[:, :n].set(q0)
+    idx = jnp.arange(n2)
+    hess_mask = idx[:, None] <= idx[None, :] + 1
+
+    def chase_sweep(hp, qp, lo, p, sx, sy, sz):
+        """One implicit double-shift sweep on window [lo..p] (size >= 3)."""
+
+        z0 = jnp.int32(0)
+
+        def step(k, carry):
+            hp, qp = carry
+            first = k == lo
+            x = jnp.where(first, sx, hp[k, k - 1])
+            y = jnp.where(first, sy, hp[k + 1, k - 1])
+            z = jnp.where(first, sz, hp[k + 2, k - 1])
+            v, beta = _house3(x, y, z, dtype)
+            # left: rows k..k+2 over all columns
+            rows = lax.dynamic_slice(hp, (k, z0), (3, n2))
+            rows = rows - beta * jnp.outer(v, jnp.matmul(v, rows))
+            hp = lax.dynamic_update_slice(hp, rows, (k, z0))
+            # right: columns k..k+2 over all rows
+            cols = lax.dynamic_slice(hp, (z0, k), (n2, 3))
+            cols = cols - beta * jnp.outer(jnp.matmul(cols, v), v)
+            hp = lax.dynamic_update_slice(hp, cols, (z0, k))
+            qc = lax.dynamic_slice(qp, (z0, k), (n, 3))
+            qc = qc - beta * jnp.outer(jnp.matmul(qc, v), v)
+            qp = lax.dynamic_update_slice(qp, qc, (z0, k))
+            return hp, qp
+
+        hp, qp = lax.fori_loop(lo, p, step, (hp, qp))
+        # the chase leaves O(eps) arithmetic residue below the subdiagonal
+        hp = jnp.where(hess_mask, hp, 0.0)
+        return hp, qp
+
+    def cond(carry):
+        _hp, _qp, hi, it, _stall = carry
+        return (hi >= 1) & (it < max_iters)
+
+    def body(carry):
+        hp, qp, hi, it, stall = carry
+        p = hi
+        d = jnp.abs(jnp.diagonal(hp))           # (n2,)
+        sub = jnp.abs(jnp.diagonal(hp, -1))     # (n2-1,) sub[i] = |h[i+1, i]|
+        # Ahues-Tisseur-style negligibility for subdiagonal i+1 <- i, with
+        # an eps floor (h is pre-scaled to ~unit norm)
+        thr = eps * jnp.maximum(d[:-1] + d[1:], 0.1)
+        neg = sub <= thr                        # neg[i]: h[i+1, i] negligible
+        # lo = largest block start l <= p with h[l, l-1] negligible (0 if none)
+        i1 = jnp.arange(1, n2, dtype=jnp.int32)
+        cand = jnp.where((i1 <= p) & neg, i1, jnp.int32(0))
+        lo = jnp.max(cand)
+
+        win = p - lo + 1
+
+        def deflate_one(args):
+            hp, qp, stall = args
+            hp = hp.at[p, p - 1].set(0.0)
+            return hp, qp, p - 1, jnp.int32(0)
+
+        def deflate_two(args):
+            hp, qp, stall = args
+            hp = jnp.where(lo >= 1, hp.at[lo, lo - 1].set(0.0), hp)
+            return hp, qp, lo - 1, jnp.int32(0)
+
+        def sweep(args):
+            hp, qp, stall = args
+            hp = jnp.where(lo >= 1, hp.at[lo, lo - 1].set(0.0), hp)
+            # Francis shift from the trailing 2x2 of the window
+            h11 = hp[p - 1, p - 1]
+            h12 = hp[p - 1, p]
+            h21 = hp[p, p - 1]
+            h22 = hp[p, p]
+            s = h11 + h22
+            t = h11 * h22 - h12 * h21
+            # exceptional shift every 10 stalled sweeps (dlahqr-style)
+            exc = (stall > 0) & (stall % 10 == 0)
+            s1 = 0.75 * jnp.abs(h21) + h22
+            s = jnp.where(exc, 2.0 * s1, s)
+            t = jnp.where(exc, s1 * s1, t)
+            a00 = hp[lo, lo]
+            a01 = hp[lo, lo + 1]
+            a10 = hp[lo + 1, lo]
+            a11 = hp[lo + 1, lo + 1]
+            a21 = hp[lo + 2, lo + 1]
+            sx = a00 * a00 + a01 * a10 - s * a00 + t
+            sy = a10 * (a00 + a11 - s)
+            sz = a10 * a21
+            hp, qp = chase_sweep(hp, qp, lo, p, sx, sy, sz)
+            return hp, qp, p, stall + jnp.int32(1)
+
+        hp, qp, hi, stall = lax.cond(
+            win == 1,
+            deflate_one,
+            lambda args: lax.cond(win == 2, deflate_two, sweep, args),
+            (hp, qp, stall),
+        )
+        return hp, qp, hi, it + jnp.int32(1), stall
+
+    hp, qp, hi, _it, _stall = lax.while_loop(
+        cond,
+        body,
+        (hp, qp, jnp.int32(n - 1), jnp.int32(0), jnp.int32(0)),
+    )
+    converged = hi < 1
+    t = hp[:n, :n]
+    # zero any remaining negligible subdiagonals (deflation only zeroes the
+    # entry it split at; others may hold O(eps) residue that
+    # _eigvals_from_schur would misread as 2x2 blocks)
+    d = jnp.abs(jnp.diagonal(t))
+    sub = jnp.diagonal(t, -1)
+    neg = jnp.abs(sub) <= eps * jnp.maximum(d[:-1] + d[1:], 0.1)
+    sub_mask = jnp.zeros((n, n), bool).at[jnp.arange(1, n), jnp.arange(n - 1)
+                                          ].set(neg)
+    t = jnp.where(sub_mask, 0.0, t) * safe
+    q = qp[:, :n]
+    return t, q, converged
+
+
+# ---------------------------------------------------------------------------
+# Eigenvalues from the quasi-triangular factor
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _eigvals_from_schur(t: jnp.ndarray):
+    """(lam_re, lam_im) from a quasi-upper-triangular matrix: 1x1 blocks
+    directly, 2x2 blocks (identified by a nonzero subdiagonal entry) via
+    the quadratic formula (real roots when the discriminant is >= 0,
+    conjugate pair otherwise)."""
+    n = t.shape[-1]
+    dtype = t.dtype
+    d = jnp.diagonal(t)
+    if n == 1:
+        return d, jnp.zeros_like(d)
+    sub = jnp.diagonal(t, -1)                      # sub[i] = t[i+1, i]
+    is_start = jnp.concatenate([sub != 0, jnp.zeros((1,), bool)])
+    # a block start cannot immediately follow another block start
+    prev = jnp.concatenate([jnp.zeros((1,), bool), is_start[:-1]])
+    is_start = is_start & ~prev
+    is_second = jnp.concatenate([jnp.zeros((1,), bool), is_start[:-1]])
+
+    up = jnp.concatenate([jnp.diagonal(t, 1), jnp.zeros((1,), dtype)])
+    dn = jnp.concatenate([d[1:], jnp.zeros((1,), dtype)])
+    sb = jnp.concatenate([sub, jnp.zeros((1,), dtype)])
+    # block at i: [[d_i, up_i], [sb_i, dn_i]]
+    m = 0.5 * (d + dn)
+    disc = 0.25 * (d - dn) ** 2 + up * sb
+    root = jnp.sqrt(jnp.abs(disc))
+    real_pair = disc >= 0
+
+    lam_re_start = jnp.where(real_pair, m + root, m)
+    lam_im_start = jnp.where(real_pair, 0.0, root)
+    lam_re_secnd = jnp.where(real_pair, m - root, m)
+    lam_im_secnd = jnp.where(real_pair, 0.0, -root)
+
+    # shift the "second" values down one slot to land on index i+1
+    lam_re_secnd = jnp.concatenate([d[:1] * 0, lam_re_secnd[:-1]])
+    lam_im_secnd = jnp.concatenate([d[:1] * 0, lam_im_secnd[:-1]])
+
+    lam_re = jnp.where(is_start, lam_re_start,
+                       jnp.where(is_second, lam_re_secnd, d))
+    lam_im = jnp.where(is_start, lam_im_start,
+                       jnp.where(is_second, lam_im_secnd, 0.0))
+    return lam_re, lam_im
+
+
+def eigvals_device(a: jnp.ndarray, max_iters: int | None = None):
+    """Eigenvalues of a real square matrix as ``(lam_re, lam_im)`` real
+    arrays — fully on-device, jit/vmap-safe (complex-free). Pair with
+    ``eig_device`` when eigenvectors are needed."""
+    t, _q, _ok = schur(a, max_iters=max_iters)
+    return _eigvals_from_schur(t)
+
+
+# ---------------------------------------------------------------------------
+# Eigenvectors via batched inverse iteration (real embedding of C^n)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _inverse_iteration(a, lam_re, lam_im):
+    n = a.shape[-1]
+    dtype = a.dtype
+    eps = _eps(dtype)
+    anorm = jnp.maximum(jnp.max(jnp.abs(a)), jnp.asarray(1.0, dtype))
+    # perturb the shift off exact singularity (xHSEIN does the same):
+    # an O(eps ||A||) relative shift changes the eigenvector by O(eps/gap)
+    delta = 3.0 * eps * anorm
+    lr = lam_re + delta
+
+    eye = jnp.eye(n, dtype=dtype)
+
+    def embed(lr_j, li_j):
+        # (A - l I)(vr + i vi) = b  <=>  [[A-lr, li], [-li, A-lr]] [vr;vi]
+        m11 = a - lr_j * eye
+        m12 = li_j * eye
+        top = jnp.concatenate([m11, m12], axis=1)
+        bot = jnp.concatenate([-m12, m11], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    ms = jax.vmap(embed)(lr, lam_im)               # (n, 2n, 2n)
+
+    # deterministic non-degenerate starts; imaginary part zeroed for real
+    # eigenvalues so their eigenvectors come out real
+    j = jnp.arange(n, dtype=dtype)
+    i = jnp.arange(n, dtype=dtype)
+    br = jnp.sin(1.7 * i[None, :] + 0.9 * j[:, None] + 0.3)
+    bi = jnp.cos(1.3 * i[None, :] + 0.7 * j[:, None] + 0.1)
+    bi = jnp.where((lam_im == 0)[:, None], 0.0, bi)
+    b = jnp.concatenate([br, bi], axis=1)          # (n, 2n)
+
+    def normalize(v):
+        vr, vi = v[:, :n], v[:, n:]
+        nrm = jnp.sqrt(jnp.sum(vr * vr + vi * vi, axis=1, keepdims=True))
+        nrm = jnp.maximum(nrm, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+        return v / nrm
+
+    v = b
+    for _ in range(2):
+        v = jnp.linalg.solve(ms, normalize(v)[..., None])[..., 0]
+        # a solve against a nearly-singular matrix can overflow f32; rescale
+        v = v / jnp.maximum(
+            jnp.max(jnp.abs(v), axis=1, keepdims=True),
+            jnp.asarray(jnp.finfo(dtype).tiny, dtype),
+        )
+    v = normalize(v)
+    vr, vi = v[:, :n], v[:, n:]
+
+    # fix the phase: rotate each vector so its largest-magnitude component
+    # is real and positive (deterministic output; real eigenvectors stay
+    # real up to sign)
+    mag2 = vr * vr + vi * vi
+    k = jnp.argmax(mag2, axis=1)
+    pr = jnp.take_along_axis(vr, k[:, None], axis=1)
+    pi = jnp.take_along_axis(vi, k[:, None], axis=1)
+    pn = jnp.sqrt(pr * pr + pi * pi)
+    pn = jnp.maximum(pn, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    cr, ci = pr / pn, -pi / pn                     # conj(phase)
+    wr = cr * vr - ci * vi
+    wi = cr * vi + ci * vr
+    # columns are eigenvectors (numpy layout): transpose the batch axis
+    return wr.T, wi.T
+
+
+def eig_device(a: jnp.ndarray, max_iters: int | None = None):
+    """Eigenvalues and right eigenvectors of a real square matrix, fully
+    on-device and complex-free.
+
+    Returns ``(lam_re, lam_im, v_re, v_im)`` with eigenvectors in columns
+    (``v[:, j]`` belongs to ``lam[j]``, numpy layout), unit 2-norm, phase
+    fixed so the largest component is real-positive. jit- and vmap-safe on
+    every backend (the TPU path the host-LAPACK ``eig_host`` cannot take).
+
+    Eigenvectors come from two rounds of inverse iteration against the
+    Schur-derived eigenvalues, each round one batched 2n x 2n LU solve
+    (the real embedding of the complex shifted system). For eigenvalue
+    clusters tighter than ~eps*||A||/gap the returned vectors may be
+    nearly dependent — the standard inverse-iteration caveat.
+    """
+    t, _q, _ok = schur(a, max_iters=max_iters)
+    lam_re, lam_im = _eigvals_from_schur(t)
+    v_re, v_im = _inverse_iteration(a, lam_re, lam_im)
+    return lam_re, lam_im, v_re, v_im

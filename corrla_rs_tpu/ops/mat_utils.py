@@ -138,6 +138,34 @@ def mat_pinv_comp(x, eps: float = 1.0e-16, mode: str = "reference"):
     return (vh.conj().T * s_inv[None, :]) @ u.conj().T
 
 
+def pinv_comp_parts(x_re: jnp.ndarray, x_im: jnp.ndarray, rtol: float | None = None):
+    """Complex Moore-Penrose pseudoinverse ON DEVICE, complex-free.
+
+    Same rank-cutoff semantics as ``mat_pinv_comp(mode="cutoff")`` but
+    jit/vmap-safe on backends with no complex dtype (this environment's
+    TPU): the complex matrix X = Xr + i Xi is embedded as the real
+    2n x 2r matrix [[Xr, -Xi], [Xi, Xr]]; the embedding is a *-algebra
+    homomorphism, so pinv(emb(X)) = emb(pinv(X)) and the pinv's real/imag
+    parts are read back off the blocks. Singular values of the embedding
+    are those of X, doubled, so the relative cutoff carries over exactly.
+
+    rtol defaults dtype-aware: 1e-10 for f64 (matching mat_pinv_comp's
+    DMDc usage), 1e-5 for f32 (junk directions sit at ~n*eps*s_max there).
+    Returns ``(p_re, p_im)`` of shape (r, n) for (n, r) input parts.
+    """
+    if rtol is None:
+        rtol = 1.0e-10 if x_re.dtype == jnp.float64 else 1.0e-5
+    n, r = x_re.shape
+    top = jnp.concatenate([x_re, -x_im], axis=1)
+    bot = jnp.concatenate([x_im, x_re], axis=1)
+    emb = jnp.concatenate([top, bot], axis=0)
+    u, s, vt = jnp.linalg.svd(emb, full_matrices=False)
+    cutoff = rtol * s[0]
+    s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-300), 0.0)
+    p = jnp.matmul(vt.T * s_inv[None, :], u.T, precision=PRECISION)
+    return p[:r, :n], p[r:, :n]
+
+
 def complex_from_parts(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     """Join real/imag parts into a complex matrix. Reference mat_utils.rs:316-337."""
     return jnp.asarray(re) + 1j * jnp.asarray(im)

@@ -1,0 +1,208 @@
+"""On-device nonsymmetric eigendecomposition (ops/eig_device).
+
+The reference's only nonsymmetric eigensolve is faer's host LAPACK-class
+``Eigendecomposition<c64>`` (reference dmd_rom.rs:112-125); this module
+tests the rebuild's pure-JAX Francis-QR replacement, which has no
+reference analogue (TPU-first capability: jit/vmap-safe, complex-free).
+
+Main suite runs f64 on the faked-CPU backend (machine-precision oracles vs
+numpy LAPACK); an f32 + product-backend lane lives in test_dmd.py's
+subprocess tests and tests/test_f32_smoke.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu.ops.eig_device import (
+    eig_device,
+    eigvals_device,
+    hessenberg,
+    schur,
+)
+from corrla_rs_tpu.ops.mat_utils import pinv_comp_parts
+
+
+def _sorted_complex(re, im):
+    return np.sort_complex(np.asarray(re) + 1j * np.asarray(im))
+
+
+def _fixtures(rng):
+    import scipy.linalg as sla
+
+    ths = rng.uniform(0.1, 3.0, 8)
+    rs = rng.uniform(0.5, 2.0, 8)
+    blocks = [
+        r * np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        for t, r in zip(ths, rs)
+    ]
+    qq, _ = np.linalg.qr(rng.standard_normal((16, 16)))
+    return {
+        "randn12": rng.standard_normal((12, 12)),
+        "diag8": np.diag(np.arange(1.0, 9.0)),
+        "rotations16": qq @ sla.block_diag(*blocks) @ qq.T,
+        "jordan10": np.eye(10) * 2.0 + np.diag(np.ones(9), 1),
+        "repeated12": np.kron(np.eye(4), rng.standard_normal((3, 3))),
+        "scaled": 1e6 * rng.standard_normal((9, 9)),
+        "tiny2": rng.standard_normal((2, 2)),
+        "one1": rng.standard_normal((1, 1)),
+    }
+
+
+def test_hessenberg_properties(rng):
+    a = jnp.asarray(rng.standard_normal((15, 15)))
+    h, q = hessenberg(a)
+    h, q = np.asarray(h), np.asarray(q)
+    assert np.max(np.abs(np.tril(h, -2))) == 0.0
+    np.testing.assert_allclose(q.T @ q, np.eye(15), atol=1e-13)
+    np.testing.assert_allclose(q @ h @ q.T, np.asarray(a), atol=1e-12)
+
+
+def test_schur_properties(rng):
+    for name, a_np in _fixtures(rng).items():
+        a = jnp.asarray(a_np)
+        n = a.shape[0]
+        t, q, ok = schur(a)
+        t, q = np.asarray(t), np.asarray(q)
+        scale = max(np.max(np.abs(a_np)), 1.0)
+        assert bool(ok), name
+        np.testing.assert_allclose(
+            q.T @ q, np.eye(n), atol=1e-12, err_msg=name
+        )
+        np.testing.assert_allclose(
+            q @ t @ q.T, a_np, atol=1e-12 * scale, err_msg=name
+        )
+        if n > 2:
+            assert np.max(np.abs(np.tril(t, -2))) == 0.0, name
+
+
+def test_eigvals_match_numpy(rng):
+    for name, a_np in _fixtures(rng).items():
+        lam = _sorted_complex(*eigvals_device(jnp.asarray(a_np)))
+        ref = np.sort_complex(np.linalg.eigvals(a_np))
+        scale = max(np.max(np.abs(ref)), 1e-30)
+        # jordan10's eigenvalue is defective (condition ~eps^(-9/10));
+        # numpy agrees with us only to the same intrinsic limit
+        tol = 5e-2 if name == "jordan10" else 1e-11
+        np.testing.assert_allclose(
+            lam / scale, ref / scale, atol=tol, err_msg=name
+        )
+
+
+def test_eigenvectors_satisfy_eigen_equation(rng):
+    for name, a_np in _fixtures(rng).items():
+        lr, li, vr, vi = eig_device(jnp.asarray(a_np))
+        lam = np.asarray(lr) + 1j * np.asarray(li)
+        v = np.asarray(vr) + 1j * np.asarray(vi)
+        scale = max(np.max(np.abs(a_np)), 1.0)
+        resid = np.max(np.abs(a_np @ v - v * lam[None, :]))
+        assert resid < 1e-11 * scale, (name, resid)
+        # unit columns
+        np.testing.assert_allclose(
+            np.linalg.norm(v, axis=0), np.ones(a_np.shape[0]), atol=1e-12,
+            err_msg=name,
+        )
+
+
+def test_eig_device_real_eigenvectors_are_real(rng):
+    # symmetric matrix: all eigenvalues real -> eigenvectors come out with
+    # zero imaginary part (the inverse-iteration start is zeroed there)
+    a_np = rng.standard_normal((9, 9))
+    a_np = a_np + a_np.T
+    lr, li, vr, vi = eig_device(jnp.asarray(a_np))
+    assert np.max(np.abs(np.asarray(li))) == 0.0
+    assert np.max(np.abs(np.asarray(vi))) == 0.0
+
+
+def test_eig_device_under_jit_and_vmap(rng):
+    batch = jnp.asarray(rng.standard_normal((5, 8, 8)))
+    f = jax.jit(jax.vmap(eigvals_device))
+    blr, bli = f(batch)
+    for i in range(5):
+        lam = _sorted_complex(blr[i], bli[i])
+        ref = np.sort_complex(np.linalg.eigvals(np.asarray(batch[i])))
+        np.testing.assert_allclose(lam, ref, atol=1e-11)
+
+
+def test_schur_reports_convergence_flag(rng):
+    a = jnp.asarray(rng.standard_normal((12, 12)))
+    _t, _q, ok = schur(a, max_iters=1)   # 1 sweep cannot deflate 12 eigs
+    assert not bool(ok)
+    _t, _q, ok = schur(a)
+    assert bool(ok)
+
+
+def test_pinv_comp_parts_matches_numpy(rng):
+    xr = rng.standard_normal((10, 4))
+    xi = rng.standard_normal((10, 4))
+    pr, pi = pinv_comp_parts(jnp.asarray(xr), jnp.asarray(xi))
+    p = np.asarray(pr) + 1j * np.asarray(pi)
+    ref = np.linalg.pinv(xr + 1j * xi)
+    np.testing.assert_allclose(p, ref, atol=1e-12)
+    # rank-deficient: cutoff zeroes the junk direction instead of blowing up
+    xr_low = np.concatenate([xr[:, :2], xr[:, :2]], axis=1)
+    xi_low = np.concatenate([xi[:, :2], xi[:, :2]], axis=1)
+    pr, pi = pinv_comp_parts(jnp.asarray(xr_low), jnp.asarray(xi_low))
+    ref = np.linalg.pinv(xr_low + 1j * xi_low)
+    np.testing.assert_allclose(
+        np.asarray(pr) + 1j * np.asarray(pi), ref, atol=1e-11
+    )
+
+
+def test_dmdc_device_eig_backend_matches_host():
+    from corrla_rs_tpu.models.dmd import DMDc
+    from corrla_rs_tpu.ops.mat_utils import mat_linspace
+
+    x = mat_linspace(0.0, 10.0, 20)[:, 0]
+    t = mat_linspace(0.0, 10.0, 40)[:, 0]
+    u = jnp.exp(0.2 * t)[None, :]
+    p = jnp.sin(x[:, None] + 0.2 * t[None, :]) * u
+
+    m_host = DMDc(p, u, n_modes=6, n_iters=40)
+    m_dev = DMDc(p, u, n_modes=6, n_iters=40, eig_backend="device")
+    np.testing.assert_allclose(
+        np.sort_complex(m_dev.lambdas), np.sort_complex(m_host.lambdas),
+        atol=1e-9,
+    )
+    x0 = p[:, 0:1]
+    pred_h = np.asarray(m_host.predict_multiple(x0, u, method="modes"))
+    pred_d = np.asarray(m_dev.predict_multiple(x0, u, method="modes"))
+    scale = np.max(np.abs(pred_h))
+    np.testing.assert_allclose(pred_d / scale, pred_h / scale, atol=1e-8)
+
+
+def test_eig_device_on_product_backend_subprocess():
+    # the whole point of eig_device: it runs jitted on the default backend
+    # of a fresh process (the axon TPU lane, f32, no callbacks, no complex
+    # dtypes). Residual tolerance is f32 QR-grade.
+    import subprocess
+    import sys
+
+    script = (
+        "import numpy as np\n"
+        "import jax, jax.numpy as jnp\n"
+        "from corrla_rs_tpu.ops.eig_device import eig_device\n"
+        "a = np.random.default_rng(0).standard_normal((12, 12))\n"
+        "lr, li, vr, vi = jax.jit(eig_device)(jnp.asarray(a, jnp.float32))\n"
+        "lam = np.asarray(lr) + 1j * np.asarray(li)\n"
+        "v = np.asarray(vr) + 1j * np.asarray(vi)\n"
+        "resid = np.abs(a @ v - v * lam[None, :]).max()\n"
+        "assert resid < 1e-4, resid\n"
+        "ref = np.sort_complex(np.linalg.eigvals(a))\n"
+        "err = np.abs(np.sort_complex(lam) - ref).max() / np.abs(ref).max()\n"
+        "assert err < 1e-4, err\n"
+        "print('EIG_DEVICE_OK')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "EIG_DEVICE_OK" in res.stdout
+
+
+def test_dmdc_eig_backend_validation():
+    from corrla_rs_tpu.models.dmd import DMDc
+
+    with pytest.raises(ValueError, match="eig_backend"):
+        DMDc(jnp.ones((4, 5)), jnp.ones((1, 5)), 2, 2, eig_backend="nope")
