@@ -139,3 +139,38 @@ def test_block_krylov_exact_on_lowrank(rng):
     u2, s2, vt2 = block_krylov_svd(jnp.asarray(b.T), 8, 3, 6, key=2)
     assert u2.shape == (60, 8) and vt2.shape == (8, 300)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-10)
+
+
+def test_single_pass_exact_on_lowrank(rng):
+    from corrla_rs_tpu.ops.random_svd import single_pass_svd
+
+    b = rng.standard_normal((400, 7)) @ rng.standard_normal((7, 80))
+    u, s, vt = single_pass_svd(jnp.asarray(b), 7, 8, key=3)
+    rec = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    np.testing.assert_allclose(rec, b, atol=1e-9)
+    # orthonormal factors
+    np.testing.assert_allclose(
+        np.asarray(u).T @ np.asarray(u), np.eye(7), atol=1e-11
+    )
+    # fat transpose path
+    u2, s2, vt2 = single_pass_svd(jnp.asarray(b.T), 7, 8, key=3)
+    assert u2.shape == (80, 7) and vt2.shape == (7, 400)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-9)
+
+
+def test_single_pass_decaying_spectrum_accuracy(rng):
+    from corrla_rs_tpu.ops.random_svd import single_pass_svd
+
+    # power-law spectrum: two passes with no power iteration still capture
+    # the leading sigmas to ~1e-2 relative (measured over 5 keys:
+    # max 0.03-0.10, median 0.005-0.022 — the documented tradeoff vs the
+    # 17-pass power-iteration path)
+    n, m, r = 1500, 300, 10
+    u0, _ = np.linalg.qr(rng.standard_normal((n, m)))
+    v0, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    s0 = (np.arange(1, m + 1, dtype=float)) ** -2.0
+    a = (u0 * s0[None, :]) @ v0.T
+    _u, s, _vt = single_pass_svd(jnp.asarray(a), r, 10, key=4)
+    rel = np.abs(np.asarray(s) - s0[:r]) / s0[:r]
+    assert np.max(rel) < 0.15, rel
+    assert np.median(rel) < 0.05, rel
