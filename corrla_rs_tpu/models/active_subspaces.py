@@ -59,19 +59,23 @@ def local_poly_grads(x_nbr, y_nbr, x_query, est_order: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("est_order", "n_nbrs", "query_chunk")
+    jax.jit,
+    static_argnames=("est_order", "n_nbrs", "query_chunk", "support_chunk"),
 )
 def batched_grad_est(x_support, y_support, x_query, est_order: int,
-                     n_nbrs: int, query_chunk: int | None = None) -> jnp.ndarray:
+                     n_nbrs: int, query_chunk: int | None = None,
+                     support_chunk: int | None = None) -> jnp.ndarray:
     """Gradient estimates [dy/dx_1 .. dy/dx_k] at each query row.
 
     One kNN + one vmapped local polynomial fit — the batched equivalent of
     the reference's per-point ``grad_at`` (active_subspaces.rs:52-62,
-    115-140). Returns (n_query, k). ``query_chunk`` bounds the kNN
-    distance-matrix memory at (query_chunk, n_support) for large point
-    clouds (SURVEY.md §7 hard part 5).
+    115-140). Returns (n_query, k). ``query_chunk``/``support_chunk``
+    bound the kNN distance-matrix memory at (query_chunk, support_chunk)
+    for large point clouds (SURVEY.md §7 hard part 5: streaming tiles +
+    running top-k merge instead of the KdTree).
     """
-    _d, idx = knn(x_query, x_support, n_nbrs, query_chunk=query_chunk)
+    _d, idx = knn(x_query, x_support, n_nbrs, query_chunk=query_chunk,
+                  support_chunk=support_chunk)
     x_nbr = x_support[idx]            # (n_q, n_nbrs, k)
     y_nbr = y_support[idx]            # (n_q, n_nbrs, 1)
     return local_poly_grads(x_nbr, y_nbr, x_query, est_order)
@@ -86,8 +90,10 @@ class PolyGradientEstimator:
     """
 
     def __init__(self, x_mat, y, est_order: int, n_nbrs: int,
-                 query_chunk: int | None = None, backend: str = "device"):
+                 query_chunk: int | None = None,
+                 support_chunk: int | None = None, backend: str = "device"):
         self.query_chunk = query_chunk
+        self.support_chunk = support_chunk
         self.x_mat = jnp.asarray(x_mat)
         self.y = jnp.asarray(y)
         if self.y.ndim == 1:
@@ -133,7 +139,7 @@ class PolyGradientEstimator:
             )
         return batched_grad_est(
             self.x_mat, self.y, xq, self.est_order,
-            self.n_nbrs, self.query_chunk,
+            self.n_nbrs, self.query_chunk, self.support_chunk,
         )
 
 

@@ -1,6 +1,7 @@
 """Active-subspace parity tests (reference active_subspaces.rs:281-386)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import corrla_rs_tpu as crt
 from corrla_rs_tpu.models.active_subspaces import (
@@ -33,6 +34,28 @@ def test_knn_chunked_matches_unchunked(rng):
     d2, i2 = knn(xq, xs, 6, query_chunk=8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-12)
+
+
+def test_knn_support_streaming_matches_unchunked(rng):
+    # support_chunk streams the support set with a running top-k merge —
+    # must be exact vs the dense path, including non-divisible chunk sizes
+    # (padded rows masked to +inf) and combined with query chunking
+    xs = jnp.asarray(rng.standard_normal((157, 4)))
+    xq = jnp.asarray(rng.standard_normal((23, 4)))
+    d1, i1 = knn(xq, xs, 7)
+    for s_chunk in (16, 50, 157, 200):
+        d2, i2 = knn(xq, xs, 7, support_chunk=s_chunk)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-12)
+    d3, i3 = knn(xq, xs, 7, query_chunk=8, support_chunk=32)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), rtol=1e-12)
+
+
+def test_knn_k_validation(rng):
+    xs = jnp.asarray(rng.standard_normal((5, 2)))
+    with pytest.raises(ValueError, match="exceeds"):
+        knn(xs, xs, 6)
 
 
 def test_grad_est_quadratic(rng):
@@ -178,3 +201,14 @@ def test_fit_bootstrap_intervals(rng):
     d = np.asarray(out["subspace_dist"])
     assert d.shape == (64,)
     assert np.median(d) < 0.05
+
+
+def test_grad_est_support_chunk_matches(rng):
+    x = jnp.asarray(rng.standard_normal((200, 3)))
+    y = (2.0 * x[:, 0] - 0.5 * x[:, 1] + 3.0)[:, None]
+    est = PolyGradientEstimator(x, y, est_order=1, n_nbrs=10)
+    est_c = PolyGradientEstimator(x, y, est_order=1, n_nbrs=10,
+                                  query_chunk=16, support_chunk=64)
+    g = np.asarray(est.grad_batch(x[:40]))
+    g_c = np.asarray(est_c.grad_batch(x[:40]))
+    np.testing.assert_allclose(g_c, g, rtol=1e-10)
