@@ -76,3 +76,50 @@ def test_gp_log_marginal_likelihood_sane(rng):
     gp_good = GpRegressor("rbf", 1.0, 1.0, 1e-4).fit(x, y, optimize_hypers=False)
     gp_bad = GpRegressor("rbf", 100.0, 1e-3, 10.0).fit(x, y, optimize_hypers=False)
     assert gp_good.log_marginal_likelihood() > gp_bad.log_marginal_likelihood()
+
+
+def test_bivariate_copula_all_families(rng):
+    from corrla_rs_tpu.ops.copula import BivariateCopula
+    from corrla_rs_tpu.ops.vine import kendall_tau
+
+    # strongly dependent Gaussian pair as the fixture; each fixed family
+    # must fit, sample, and reproduce the dependence strength (tau) it
+    # captured from the data
+    z = rng.standard_normal((4000, 2))
+    x = np.stack([z[:, 0], 0.8 * z[:, 0] + 0.6 * z[:, 1]], axis=1)
+    for fam in ("gaussian", "clayton", "gumbel", "frank"):
+        cop = BivariateCopula(fam).fit(jnp.asarray(x))
+        assert cop.fitted_family == fam
+        s = cop.sample(4000, key=7)
+        tau_s = float(kendall_tau(s[:, 0], s[:, 1]))
+        assert abs(tau_s - cop.tau) < 0.08, (fam, tau_s, cop.tau)
+        # marginals preserved (empirical quantile round-trip)
+        np.testing.assert_allclose(
+            np.median(np.asarray(s), axis=0), np.median(x, axis=0), atol=0.15
+        )
+
+
+def test_bivariate_copula_auto_selects_gaussian(rng):
+    from corrla_rs_tpu.ops.copula import BivariateCopula
+
+    z = rng.standard_normal((5000, 2))
+    x = np.stack([z[:, 0], 0.9 * z[:, 0] + np.sqrt(1 - 0.81) * z[:, 1]], axis=1)
+    cop = BivariateCopula("auto").fit(jnp.asarray(x))
+    assert cop.fitted_family in ("gaussian", "frank")  # symmetric families
+    # log-density integrates sensibly: positive at the diagonal center for
+    # positive dependence
+    lp = float(cop.logpdf_uniform(jnp.asarray(0.5), jnp.asarray(0.5)))
+    assert lp > 0.0
+
+
+def test_bivariate_copula_validation(rng):
+    from corrla_rs_tpu.ops.copula import BivariateCopula
+
+    with pytest.raises(ValueError, match="family"):
+        BivariateCopula("nope")
+    z = rng.standard_normal((500, 2))
+    x = np.stack([z[:, 0], -z[:, 0] + 0.2 * z[:, 1]], axis=1)  # negative dep
+    with pytest.raises(ValueError, match="negative dependence"):
+        BivariateCopula("clayton").fit(jnp.asarray(x))
+    with pytest.raises(ValueError, match="samples"):
+        BivariateCopula().fit(jnp.asarray(z[:, :1]))
