@@ -56,6 +56,46 @@ def main():
           f"tau01 data {float(kendall_tau(zc[:, 0], zc[:, 1])):.3f} "
           f"vine {float(kendall_tau(vs[:, 0], vs[:, 1])):.3f}")
 
+    # Bivariate copula with AIC family selection (readme.md:49-53 TODO)
+    from corrla_rs_tpu.ops.copula import BivariateCopula
+
+    biv = BivariateCopula("auto").fit(jnp.asarray(data.astype(np.float32)))
+    bs = np.asarray(biv.sample(3000, key=6))
+    print(f"bivariate copula: family {biv.fitted_family} tau {biv.tau:.3f};"
+          f" sample tau "
+          f"{float(kendall_tau(bs[:, 0], bs[:, 1])):.3f}")
+
+    # Sobol' indices: global variance-based sensitivity (extension)
+    from corrla_rs_tpu.ops.sobol import sobol_indices
+
+    def ishigami(xq):
+        return (jnp.sin(xq[:, 0]) + 7.0 * jnp.sin(xq[:, 1]) ** 2
+                + 0.1 * xq[:, 2] ** 4 * jnp.sin(xq[:, 0]))
+
+    sob = sobol_indices(
+        ishigami, np.array([[-np.pi, np.pi]] * 3), 16384, key=7,
+        plan="sobol", n_boot=64,
+    )
+    print(f"Sobol (Ishigami): S1 {np.asarray(sob['s1']).round(3)}"
+          f" (exact [0.314 0.442 0.   ]);"
+          f" ST {np.asarray(sob['st']).round(3)}"
+          f" (exact [0.558 0.442 0.244])")
+
+    # Batched on-device spectra: vmapped Francis-QR eig over a family of
+    # perturbed DMD-style operators (no host LAPACK anywhere)
+    import jax
+    from corrla_rs_tpu.ops.eig_device import eigvals_device
+
+    base = np.diag(np.linspace(0.5, 0.99, 12)).astype(np.float32)
+    fam = jnp.asarray(
+        base[None] + 0.05 * rng.standard_normal((64, 12, 12)).astype(
+            np.float32)
+    )
+    blr, bli = jax.jit(jax.vmap(eigvals_device))(fam)
+    rho = np.sqrt(np.asarray(blr) ** 2 + np.asarray(bli) ** 2).max(axis=1)
+    print(f"batched eig (64 operators, one vmapped call): spectral radius "
+          f"p5/p50/p95 = {np.percentile(rho, [5, 50, 95]).round(3)}")
+
     # DREAM + diagnostics
     def lnp(q):
         return -0.5 * jnp.sum(q**2)
