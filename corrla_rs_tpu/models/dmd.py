@@ -304,3 +304,84 @@ class DMDc:
         if method == "reduced":
             return _rollout_reduced(self._u_hat, self._A, self._B, x0, u)
         return _rollout(self.est_a_til(), self._B, x0, u)
+
+
+def dmdc_fit_ensemble(x_batch, u_batch, n_modes: int, n_iters: int, key=0,
+                      config: DmdConfig | None = None):
+    """Vmapped DMDc fits over an ensemble of snapshot families — fully
+    on-device (EXTENSION; no reference analogue).
+
+    Enabled by ops/eig_device: with the r x r eigensolve on device, the
+    entire fit chain (two RSVDs -> reduced operators -> Francis-QR eig ->
+    modes -> factored dynamics) is one jit+vmap program, so B ensemble
+    members (bootstrap resamples, parameter sweeps, perturbed ICs) fit in
+    a single batched dispatch instead of B host round-trips. The host-eig
+    path can never batch this way.
+
+    x_batch: (B, n_x, n_t) snapshot ensembles; u_batch: (B, n_u, n_t).
+    Returns a dict of batched device arrays:
+      ``lambdas_re/lambdas_im`` (B, r) — DMD eigenvalue spectra,
+      ``modes_re/modes_im``     (B, n_x, r),
+      ``a_til`` (B, r, r), ``b_op`` (B, n_x, n_u), ``u_hat`` (B, n_x, r),
+      ``w_re/w_im`` (B, r, n_x) — factored dynamics (A = Phi_r W_r -
+      Phi_i W_i), ready for ``rollout_ensemble``.
+    """
+    from corrla_rs_tpu.ops.eig_device import eig_device
+    from corrla_rs_tpu.ops.mat_utils import pinv_comp_parts
+
+    cfg = config or DmdConfig()
+    x_batch = jnp.asarray(x_batch)
+    u_batch = jnp.asarray(u_batch)
+    if x_batch.ndim != 3 or u_batch.ndim != 3:
+        raise ValueError(
+            f"expected (B, n_x, n_t) and (B, n_u, n_t) batches, got "
+            f"{x_batch.shape} and {u_batch.shape}"
+        )
+    b, n_x, _n_t = x_batch.shape
+    n_u = u_batch.shape[1]
+    n_os = int(cfg.n_oversamples)
+    n_modes = int(n_modes)
+    n_iters = int(n_iters)
+
+    def fit_one(x, u, k):
+        a_til, b_op, tmp_modes_scale, u_hat = _dmdc_reduce_kernel(
+            x, u, n_x, n_u, n_modes, n_iters, n_os, k
+        )
+        lam_re, lam_im, v_re, v_im = eig_device(a_til)
+        modes_re, modes_im = _dmdc_modes_kernel(tmp_modes_scale, v_re, v_im)
+        p_re, p_im = pinv_comp_parts(modes_re, modes_im)
+        w_re = lam_re[:, None] * p_re - lam_im[:, None] * p_im
+        w_im = lam_re[:, None] * p_im + lam_im[:, None] * p_re
+        return dict(
+            lambdas_re=lam_re, lambdas_im=lam_im,
+            modes_re=modes_re, modes_im=modes_im,
+            a_til=a_til, b_op=b_op, u_hat=u_hat, w_re=w_re, w_im=w_im,
+        )
+
+    keys = jax.random.split(as_key(key), b)
+    return jax.vmap(fit_one)(x_batch, u_batch, keys)
+
+
+def rollout_ensemble(fit, x0_batch, u_seq, method: str = "reduced"):
+    """Roll every ensemble member forward in one vmapped dispatch.
+
+    fit: output of ``dmdc_fit_ensemble``; x0_batch: (B, n_x, 1);
+    u_seq: (n_u, n_times) shared controls or (B, n_u, n_times) per-member.
+    method: 'reduced' (POD-basis rollout, eig-free) or 'modes' (factored
+    eigendynamics). Returns (B, n_x, n_times).
+    """
+    x0_batch = jnp.asarray(x0_batch)
+    u_seq = jnp.asarray(u_seq)
+    b = x0_batch.shape[0]
+    if u_seq.ndim == 2:
+        u_seq = jnp.broadcast_to(u_seq, (b,) + u_seq.shape)
+    if method == "reduced":
+        return jax.vmap(_rollout_reduced)(
+            fit["u_hat"], fit["a_til"], fit["b_op"], x0_batch, u_seq
+        )
+    if method == "modes":
+        return jax.vmap(_rollout_factored)(
+            fit["modes_re"], fit["modes_im"], fit["w_re"], fit["w_im"],
+            fit["b_op"], x0_batch, u_seq,
+        )
+    raise ValueError(f"method must be 'reduced' or 'modes', got {method!r}")

@@ -206,3 +206,65 @@ def test_dmdc_eig_backend_validation():
 
     with pytest.raises(ValueError, match="eig_backend"):
         DMDc(jnp.ones((4, 5)), jnp.ones((1, 5)), 2, 2, eig_backend="nope")
+
+
+def test_dmdc_fit_ensemble_matches_single():
+    from corrla_rs_tpu.models.dmd import (
+        DMDc, dmdc_fit_ensemble, rollout_ensemble,
+    )
+    from corrla_rs_tpu.ops.mat_utils import mat_linspace
+    import jax
+
+    x = mat_linspace(0.0, 10.0, 20)[:, 0]
+    t = mat_linspace(0.0, 10.0, 40)[:, 0]
+    u = jnp.exp(0.2 * t)[None, :]
+    base = jnp.sin(x[:, None] + 0.2 * t[None, :]) * u
+    rng = np.random.default_rng(6)
+    batch = jnp.stack(
+        [base + 1e-3 * jnp.asarray(rng.standard_normal(base.shape)) * float(i)
+         for i in range(3)]
+    )
+    u_batch = jnp.broadcast_to(u, (3,) + u.shape)
+
+    fit = dmdc_fit_ensemble(batch, u_batch, n_modes=6, n_iters=40, key=9)
+    assert fit["lambdas_re"].shape == (3, 6)
+    assert fit["modes_re"].shape == (3, 20, 6)
+
+    # member 0 (unperturbed) spectra match a single device-backend fit with
+    # the same per-member key
+    k0 = jax.random.split(jnp.asarray(
+        jax.random.key(9) if hasattr(jax.random, "key") else 9), 3)[0]
+    m0 = DMDc(base, u, n_modes=6, n_iters=40, key=k0, eig_backend="device")
+    lam_b = np.sort_complex(
+        np.asarray(fit["lambdas_re"][0]) + 1j * np.asarray(fit["lambdas_im"][0])
+    )
+    np.testing.assert_allclose(
+        lam_b, np.sort_complex(m0.lambdas), atol=1e-9
+    )
+
+    # every member's rollout tracks its own (slightly perturbed) truth
+    x0 = batch[:, :, 0:1]
+    pred = rollout_ensemble(fit, x0, u, method="reduced")
+    assert pred.shape == (3, 20, 40)
+    err = np.abs(np.asarray(pred[:, :, 19]) - np.asarray(batch[:, :, 20]))
+    assert err.max() < 5e-2  # reference tolerance dmd_rom.rs:309
+
+    # the 'modes' (eigendynamics) rollout is a different operator
+    # representation than 'reduced' — on noisy members they agree only to
+    # model error; each must track the truth, and member 0 must match the
+    # single-model factored rollout exactly (same pipeline)
+    pred_m = rollout_ensemble(fit, x0, u, method="modes")
+    err_m = np.abs(np.asarray(pred_m[:, :, 19]) - np.asarray(batch[:, :, 20]))
+    assert err_m.max() < 5e-2
+    single_m = m0.predict_multiple(base[:, 0:1], u, method="modes")
+    np.testing.assert_allclose(
+        np.asarray(pred_m[0]), np.asarray(single_m),
+        atol=1e-8 * float(jnp.max(jnp.abs(single_m))),
+    )
+
+
+def test_dmdc_fit_ensemble_validation():
+    from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble
+
+    with pytest.raises(ValueError, match="batches"):
+        dmdc_fit_ensemble(jnp.ones((4, 5)), jnp.ones((1, 5)), 2, 2)
