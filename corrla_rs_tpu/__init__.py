@@ -41,7 +41,12 @@ from corrla_rs_tpu.models.active_subspaces import (
     FittedActiveSsRsvd,
     PolyGradientEstimator,
 )
-from corrla_rs_tpu.ops.copula import GaussianCopula
+from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble, rollout_ensemble
+from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
+from corrla_rs_tpu.ops.eig import eig, eig_host
+from corrla_rs_tpu.ops.eig_device import eig_device, eigvals_device, schur
+from corrla_rs_tpu.ops.morris import morris_screening, morris_trajectories
+from corrla_rs_tpu.ops.sobol import saltelli_plan, sobol_indices
 from corrla_rs_tpu.ops.vine import CVineCopula
 from corrla_rs_tpu.ops.diagnostics import effective_sample_size, gelman_rubin
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
@@ -51,6 +56,7 @@ from corrla_rs_tpu.ops.random_svd import (
     block_krylov_svd,
     power_iter,
     random_svd,
+    single_pass_svd,
 )
 from corrla_rs_tpu.ops.samplers import DeMcSampler, constr_dirichlet_sample
 from corrla_rs_tpu.ops.univariate_rv import (
@@ -88,6 +94,7 @@ __all__ = [
     "random_svd",
     "power_iter",
     "block_krylov_svd",
+    "single_pass_svd",
     "PcaRsvd",
     "PodI",
     "DMDc",
@@ -106,7 +113,19 @@ __all__ = [
     "build_kde",
     "GpRegressor",
     "GaussianCopula",
+    "BivariateCopula",
     "CVineCopula",
+    "eig",
+    "eig_host",
+    "eig_device",
+    "eigvals_device",
+    "schur",
+    "sobol_indices",
+    "saltelli_plan",
+    "morris_screening",
+    "morris_trajectories",
+    "dmdc_fit_ensemble",
+    "rollout_ensemble",
     "gelman_rubin",
     "effective_sample_size",
     "save_model",
