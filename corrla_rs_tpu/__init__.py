@@ -83,7 +83,7 @@ class PyDMDc(DMDc):
     def predict(self, x_0, u_seq, method: str = "dense"):
         return self.predict_multiple(x_0, u_seq, method=method)
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "rsvd",
