@@ -39,6 +39,8 @@ def _builtin_registry():
     from corrla_rs_tpu.models.dmd import DMDc
     from corrla_rs_tpu.models.pca import PcaRsvd
     from corrla_rs_tpu.models.pod import PodI
+    from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
+    from corrla_rs_tpu.ops.gp import GpRegressor
     from corrla_rs_tpu.ops.interp import RbfInterp
     from corrla_rs_tpu.ops.univariate_rv import (
         BetaRv,
@@ -46,10 +48,23 @@ def _builtin_registry():
         KdeRv,
         NormalRv,
     )
+    from corrla_rs_tpu.ops.vine import CVineCopula
 
     for cls in (PcaRsvd, PodI, DMDc, RbfInterp, FittedActiveSsRsvd,
-                NormalRv, BetaRv, ExponentialRv, KdeRv):
+                NormalRv, BetaRv, ExponentialRv, KdeRv,
+                GpRegressor, GaussianCopula, BivariateCopula, CVineCopula):
         _REGISTRY.setdefault(cls.__name__, cls)
+
+
+def _coerce(v):
+    """json default= hook: numpy scalar types -> python scalars."""
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    raise TypeError(f"not JSON-coercible: {type(v)}")
 
 
 def save_model(path: str, model) -> None:
@@ -78,10 +93,20 @@ def save_model(path: str, model) -> None:
                 arrays[f"lst_{name}_{i}"] = np.asarray(v)
             scalars[f"__len_{name}"] = len(val)
         else:
-            # non-array state (e.g. ln_prob closures) is not serializable
-            raise TypeError(
-                f"cannot checkpoint attribute {name!r} of type {type(val)}"
-            )
+            # nested primitive structure (e.g. CVineCopula.pairs — a list
+            # of lists of (family, theta) tuples)? JSON round-trips it;
+            # numpy scalars coerce via default=. Tuples come back as
+            # lists, which every consumer unpacks identically.
+            try:
+                scalars[name] = {
+                    "__json__": json.loads(json.dumps(val, default=_coerce))
+                }
+            except TypeError:
+                # non-serializable state (e.g. ln_prob closures)
+                raise TypeError(
+                    f"cannot checkpoint attribute {name!r} of type "
+                    f"{type(val)}"
+                ) from None
     np.savez(
         path,
         __class__=np.asarray(type(model).__name__),
@@ -140,6 +165,8 @@ def load_model(path: str):
             lists[name[len("__len_"):]] = int(val)
         elif isinstance(val, dict) and "__dict__" in val:
             setattr(model, name, val["__dict__"])
+        elif isinstance(val, dict) and "__json__" in val:
+            setattr(model, name, val["__json__"])
         else:
             setattr(model, name, val)
     for key in data.files:

@@ -131,3 +131,45 @@ def test_dream_state_roundtrip(tmp_path):
     h_b, s_b = dream_run(None, lnp, 20, key=7, n_adapt=40, init_state=state2)
     np.testing.assert_array_equal(np.asarray(h_a), np.asarray(h_b))
     assert int(s_b.t) == 80
+
+
+def test_gp_checkpoint_roundtrip(rng, tmp_path):
+    from corrla_rs_tpu.ops.gp import GpRegressor
+
+    x = np.sort(rng.uniform(0, 6, 40))[:, None]
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(40)
+    gp = GpRegressor("rbf", 1.0, 1.0, 1e-4).fit(
+        jnp.asarray(x), jnp.asarray(y), optimize_hypers=False
+    )
+    path = str(tmp_path / "gp.npz")
+    save_model(path, gp)
+    gp2 = load_model(path)
+    xq = jnp.asarray(np.linspace(0.5, 5.5, 11)[:, None])
+    m1, v1 = gp.predict(xq)
+    m2, v2 = gp2.predict(xq)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-12)
+
+
+def test_copula_checkpoint_roundtrips(rng, tmp_path):
+    from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
+    from corrla_rs_tpu.ops.vine import CVineCopula
+
+    z = rng.multivariate_normal([0, 0, 0],
+                                [[1, .7, .2], [.7, 1, .4], [.2, .4, 1]],
+                                size=600)
+    g = GaussianCopula().fit(jnp.asarray(z[:, :2]))
+    b = BivariateCopula("auto").fit(jnp.asarray(z[:, :2]))
+    v = CVineCopula().fit(z)
+    for model, name in ((g, "g"), (b, "b"), (v, "v")):
+        path = str(tmp_path / f"{name}.npz")
+        save_model(path, model)
+        m2 = load_model(path)
+        s1 = np.asarray(model.sample(50, key=9))
+        s2 = np.asarray(m2.sample(50, key=9))
+        np.testing.assert_allclose(s2, s1, rtol=1e-12, err_msg=name)
+    # vine nested pair table survives (tuples -> lists, same unpacking)
+    v2 = load_model(str(tmp_path / "v.npz"))
+    assert len(v2.pairs) == len(v.pairs)
+    fam0, th0 = v2.pairs[0][0]
+    assert fam0 == v.pairs[0][0][0]
