@@ -321,3 +321,21 @@ def test_sharded_dmdc_rejects_nondivisible():
     u = np.ones((1, 10), np.float32)
     with pytest.raises(ValueError, match="divide the mesh"):
         DMDc(jnp.asarray(snaps), jnp.asarray(u), 4, 8, mesh=mesh)
+
+
+def test_sharded_single_pass_svd_matches_single(rng):
+    # single_pass_svd is pure matmul + small QR/solve/SVD: GSPMD
+    # partitions it for free when A arrives row-sharded. Same answer as
+    # the replicated run (identical sketch => identical arithmetic up to
+    # reduction order).
+    _require_8()
+    from corrla_rs_tpu.ops.random_svd import single_pass_svd
+
+    mesh = make_mesh(8)
+    b = rng.standard_normal((640, 9)) @ rng.standard_normal((9, 120))
+    a = jnp.asarray(b)
+    u1, s1, vt1 = single_pass_svd(a, 9, 8, key=5)
+    u2, s2, vt2 = single_pass_svd(shard_rows(a, mesh), 9, 8, key=5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-9)
+    rec = np.asarray(u2) @ np.diag(np.asarray(s2)) @ np.asarray(vt2)
+    np.testing.assert_allclose(rec, b, atol=1e-8)
