@@ -100,3 +100,23 @@ def test_rsvd_dtypes(dtype, rng):
     rtol = 1e-3 if dtype == "float32" else 1e-5
     np.testing.assert_allclose(np.asarray(s, np.float64), s_exact[:4],
                                rtol=rtol)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_eig_device_random_configs(seed):
+    from corrla_rs_tpu.ops.eig_device import eig_device
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(2, 40))
+    scale = 10.0 ** rng.integers(-3, 4)
+    a = rng.standard_normal((n, n)) * scale
+    lr, li, vr, vi = eig_device(jnp.asarray(a))
+    lam = np.asarray(lr) + 1j * np.asarray(li)
+    ref = np.sort_complex(np.linalg.eigvals(a))
+    np.testing.assert_allclose(
+        np.sort_complex(lam) / (scale * max(n, 1)),
+        ref / (scale * max(n, 1)), atol=1e-12,
+    )
+    v = np.asarray(vr) + 1j * np.asarray(vi)
+    resid = np.abs(a @ v - v * lam[None, :]).max()
+    assert resid < 1e-10 * scale * n, (n, scale, resid)
