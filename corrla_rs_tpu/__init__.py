@@ -43,6 +43,11 @@ from corrla_rs_tpu.models.active_subspaces import (
 )
 from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble, rollout_ensemble
 from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
+from corrla_rs_tpu.ops.design import (
+    halton_sample,
+    latin_hypercube,
+    sobol_sample,
+)
 from corrla_rs_tpu.ops.eig import eig, eig_host
 from corrla_rs_tpu.ops.eig_device import eig_device, eigvals_device, schur
 from corrla_rs_tpu.ops.morris import morris_screening, morris_trajectories
@@ -50,7 +55,7 @@ from corrla_rs_tpu.ops.sobol import saltelli_plan, sobol_indices
 from corrla_rs_tpu.ops.vine import CVineCopula
 from corrla_rs_tpu.ops.diagnostics import effective_sample_size, gelman_rubin
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
-from corrla_rs_tpu.ops.gp import GpRegressor
+from corrla_rs_tpu.ops.gp import GpRegressor, SparseGpRegressor
 from corrla_rs_tpu.ops.interp import RbfInterp
 from corrla_rs_tpu.ops.random_svd import (
     block_krylov_svd,
@@ -112,6 +117,10 @@ __all__ = [
     "KdeRv",
     "build_kde",
     "GpRegressor",
+    "SparseGpRegressor",
+    "latin_hypercube",
+    "sobol_sample",
+    "halton_sample",
     "GaussianCopula",
     "BivariateCopula",
     "CVineCopula",

@@ -18,7 +18,7 @@ from jax.scipy.optimize import minimize as _jsp_minimize
 from corrla_rs_tpu.ops.interp import pairwise_dists
 from corrla_rs_tpu.ops.mat_utils import PRECISION
 
-__all__ = ["GpRegressor", "gp_kernel_eval"]
+__all__ = ["GpRegressor", "SparseGpRegressor", "gp_kernel_eval"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -134,3 +134,149 @@ class GpRegressor:
         n = self.x_train.shape[0]
         return -float(_nlml(self._log_params(), self.x_train, self._yc,
                             self.kernel)) * n
+
+
+# ---------------------------------------------------------------------------
+# Sparse GP (inducing points) for large N
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kernel",))
+def _sgpr_factors(x, y, x_ind, log_params, kernel):
+    """Titsias (2009) variational sparse GP factors.
+
+    Returns (l_mm, l_b, c) with
+      l_mm = chol(K_mm + jitter), A = l_mm^-1 K_mn / sigma,
+      l_b = chol(I + A A^T),      c = l_b^-1 A y / sigma,
+    everything O(n m^2) and matmul-shaped for the MXU.
+    """
+    ls, sv, nv = jnp.exp(log_params)
+    m = x_ind.shape[0]
+    sigma = jnp.sqrt(nv)
+    k_mm = gp_kernel_eval(pairwise_dists(x_ind, x_ind), kernel, ls, sv)
+    k_mm = k_mm + _jitter(x.dtype) * sv * jnp.eye(m, dtype=x.dtype)
+    l_mm = jnp.linalg.cholesky(k_mm)
+    k_mn = gp_kernel_eval(pairwise_dists(x_ind, x), kernel, ls, sv)
+    a = jax.scipy.linalg.solve_triangular(l_mm, k_mn, lower=True) / sigma
+    # chol(B) with B = I + A A^T via QR of [A^T; I] (R^T R = B): forming
+    # the square would double the condition number — at n ~ 1e5, f32
+    # Cholesky of the explicit B fails (cond ~ 1e7 observed) while the QR
+    # route is exact at cond ~ 3e3
+    stack = jnp.concatenate([a.T, jnp.eye(m, dtype=x.dtype)], axis=0)
+    r = jnp.linalg.qr(stack, mode="r")
+    sgn = jnp.sign(jnp.diagonal(r))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    l_b = (r * sgn[:, None]).T
+    c = jax.scipy.linalg.solve_triangular(
+        l_b, jnp.matmul(a, y, precision=PRECISION), lower=True
+    ) / sigma
+    return l_mm, l_b, a, c
+
+
+@functools.partial(jax.jit, static_argnames=("kernel",))
+def _sgpr_neg_elbo(log_params, x, y, x_ind, kernel):
+    """Negative Titsias ELBO / n — the sparse analogue of _nlml; exact
+    jax.grad gradients drive the same BFGS loop."""
+    ls, sv, nv = jnp.exp(log_params)
+    n = x.shape[0]
+    _l_mm, l_b, a, c = _sgpr_factors(x, y, x_ind, log_params, kernel)
+    quad = jnp.sum(y * y) / nv - jnp.sum(c * c)
+    logdet = n * jnp.log(nv) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_b)))
+    trace = (n * sv - nv * jnp.sum(a * a)) / nv
+    return 0.5 * (n * _LOG_2PI + logdet + quad + trace) / n
+
+
+@functools.partial(jax.jit, static_argnames=("kernel",))
+def _sgpr_predict(x_ind, l_mm, l_b, c, log_params, xq, kernel):
+    ls, sv, _nv = jnp.exp(log_params)
+    k_mq = gp_kernel_eval(pairwise_dists(x_ind, xq), kernel, ls, sv)
+    a_q = jax.scipy.linalg.solve_triangular(l_mm, k_mq, lower=True)
+    b_q = jax.scipy.linalg.solve_triangular(l_b, a_q, lower=True)
+    mean = jnp.matmul(b_q.T, c, precision=PRECISION)
+    var = sv - jnp.sum(a_q * a_q, axis=0) + jnp.sum(b_q * b_q, axis=0)
+    return mean, jnp.maximum(var, 0.0)
+
+
+class SparseGpRegressor:
+    """Sparse variational GP (Titsias 2009 SGPR) for large training sets.
+
+    EXTENSION beyond the exact ``GpRegressor``: m inducing points make
+    fitting O(n m^2) and prediction O(m^2) instead of O(n^3)/O(n^2) —
+    the production path when n reaches 10^4-10^6. Hyperparameters
+    optimize the collapsed variational ELBO (a lower bound on the exact
+    marginal likelihood; the variance term penalizes what the inducing
+    set cannot explain) with exact jax.grad gradients, mirroring the
+    exact GP's BFGS loop. Predictive mean/variance are the standard
+    SGPR forms — variance correctly inflates away from inducing points.
+
+    inducing: int (that many training points, chosen uniformly at random
+    with ``key``) or an (m, d) array of explicit locations.
+    """
+
+    def __init__(self, kernel: str = "rbf", length_scale: float = 1.0,
+                 signal_var: float = 1.0, noise_var: float = 1e-2,
+                 inducing=128, key=0):
+        self.kernel = kernel
+        self.length_scale = float(length_scale)
+        self.signal_var = float(signal_var)
+        self.noise_var = float(noise_var)
+        self._inducing_spec = inducing
+        self._key = key
+        self.x_ind = None
+
+    def _log_params(self):
+        return jnp.log(jnp.asarray(
+            [self.length_scale, self.signal_var, self.noise_var]
+        ))
+
+    def fit(self, x, y, optimize_hypers: bool = True):
+        from corrla_rs_tpu.utils.prng import as_key
+
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if y.ndim == 2:
+            y = y[:, 0]
+        self._y_mean = jnp.mean(y)
+        yc = y - self._y_mean
+        if isinstance(self._inducing_spec, int):
+            m = min(self._inducing_spec, x.shape[0])
+            idx = jax.random.choice(
+                as_key(self._key), x.shape[0], (m,), replace=False
+            )
+            self.x_ind = x[idx]
+        else:
+            self.x_ind = jnp.asarray(self._inducing_spec)
+        if optimize_hypers:
+            res = _jsp_minimize(
+                lambda lp: _sgpr_neg_elbo(lp, x, yc, self.x_ind,
+                                          self.kernel),
+                self._log_params(), method="BFGS",
+            )
+            good = jnp.all(jnp.isfinite(res.x))
+            lp = jnp.where(good, res.x, self._log_params())
+            self.length_scale, self.signal_var, self.noise_var = (
+                float(v) for v in jnp.exp(lp)
+            )
+        self._yc = yc
+        self.x_train = x
+        l_mm, l_b, _a, c = _sgpr_factors(
+            x, yc, self.x_ind, self._log_params(), self.kernel
+        )
+        self._l_mm, self._l_b, self._c = l_mm, l_b, c
+        return self
+
+    def predict(self, xq, return_var: bool = True):
+        xq = jnp.asarray(xq)
+        mean, var = _sgpr_predict(
+            self.x_ind, self._l_mm, self._l_b, self._c,
+            self._log_params(), xq, self.kernel,
+        )
+        mean = mean + self._y_mean
+        return (mean, var) if return_var else mean
+
+    def elbo(self) -> float:
+        """Collapsed variational lower bound on log p(y) (total, not /n)."""
+        n = self.x_train.shape[0]
+        return -float(_sgpr_neg_elbo(
+            self._log_params(), self.x_train, self._yc, self.x_ind,
+            self.kernel,
+        )) * n

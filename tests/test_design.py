@@ -1,0 +1,68 @@
+"""Space-filling designs (ops/design) — extension tests."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu.ops.design import (
+    halton_sample,
+    latin_hypercube,
+    sobol_sample,
+)
+
+BOUNDS = np.array([[0.0, 1.0], [-2.0, 4.0], [100.0, 110.0]])
+
+
+def _check_box(x):
+    x = np.asarray(x)
+    for j in range(BOUNDS.shape[0]):
+        assert x[:, j].min() >= BOUNDS[j, 0]
+        assert x[:, j].max() <= BOUNDS[j, 1]
+
+
+def test_lhs_stratification():
+    n = 64
+    x = latin_hypercube(BOUNDS, n, key=0)
+    assert x.shape == (n, 3)
+    _check_box(x)
+    # exactly one point per stratum in every dimension
+    for j in range(3):
+        u = (np.asarray(x)[:, j] - BOUNDS[j, 0]) / (
+            BOUNDS[j, 1] - BOUNDS[j, 0]
+        )
+        strata = np.floor(u * n).astype(int)
+        assert sorted(strata) == list(range(n))
+
+
+def test_lhs_maximin_improves_min_distance():
+    def min_dist(x):
+        x = np.asarray(x)
+        d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+        return np.min(d + np.eye(len(x)) * 1e9)
+
+    # unit cube so distances are comparable
+    b = np.array([[0.0, 1.0]] * 4)
+    base = min(min_dist(latin_hypercube(b, 32, key=k)) for k in range(5))
+    best = min_dist(latin_hypercube(b, 32, key=0, n_candidates=32))
+    assert best >= base
+
+
+@pytest.mark.parametrize("fn", [sobol_sample, halton_sample])
+def test_qmc_low_discrepancy(fn):
+    n = 256
+    x = fn(BOUNDS, n, key=1)
+    assert x.shape == (n, 3)
+    _check_box(x)
+    # low-discrepancy: every half-box contains ~n/2 points, much tighter
+    # than the ~sqrt(n) Monte Carlo fluctuation
+    u = (np.asarray(x) - BOUNDS[:, 0]) / (BOUNDS[:, 1] - BOUNDS[:, 0])
+    for j in range(3):
+        frac = (u[:, j] < 0.5).mean()
+        assert abs(frac - 0.5) < 0.03
+
+
+def test_designs_are_seeded():
+    a = np.asarray(latin_hypercube(BOUNDS, 16, key=3))
+    b = np.asarray(latin_hypercube(BOUNDS, 16, key=3))
+    c = np.asarray(latin_hypercube(BOUNDS, 16, key=4))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-3

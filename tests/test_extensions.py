@@ -123,3 +123,45 @@ def test_bivariate_copula_validation(rng):
         BivariateCopula("clayton").fit(jnp.asarray(x))
     with pytest.raises(ValueError, match="samples"):
         BivariateCopula().fit(jnp.asarray(z[:, :1]))
+
+
+def test_sparse_gp_matches_exact_when_inducing_all(rng):
+    from corrla_rs_tpu.ops.gp import SparseGpRegressor
+
+    x = np.sort(rng.uniform(0, 6, 60))[:, None]
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(60)
+    hp = dict(length_scale=1.0, signal_var=1.0, noise_var=3e-3)
+    gp = GpRegressor("rbf", **hp).fit(
+        jnp.asarray(x), jnp.asarray(y), optimize_hypers=False
+    )
+    sp = SparseGpRegressor("rbf", inducing=jnp.asarray(x), **hp).fit(
+        jnp.asarray(x), jnp.asarray(y), optimize_hypers=False
+    )
+    xq = jnp.asarray(np.linspace(0.3, 5.7, 31)[:, None])
+    m1, v1 = gp.predict(xq)
+    m2, v2 = sp.predict(xq)
+    # inducing == all training points: SGPR collapses to the exact GP
+    # (up to the jitter the two formulations place differently)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-4)
+    # ELBO lower-bounds the exact log marginal likelihood (up to the
+    # differing jitter placements of the two formulations, ~1e-2 here)
+    assert sp.elbo() <= gp.log_marginal_likelihood() + 0.01
+
+
+def test_sparse_gp_large_n(rng):
+    from corrla_rs_tpu.ops.gp import SparseGpRegressor
+
+    n = 20000
+    x = np.sort(rng.uniform(0, 6, n))[:, None]
+    y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    sp = SparseGpRegressor("rbf", inducing=64, key=7).fit(
+        jnp.asarray(x), jnp.asarray(y)
+    )
+    xq = np.linspace(0.3, 5.7, 50)[:, None]
+    mean, var = sp.predict(jnp.asarray(xq))
+    err = np.max(np.abs(np.asarray(mean) - np.sin(2 * xq[:, 0])))
+    assert err < 0.05, err
+    # predictive variance inflates outside the data range
+    m_out, v_out = sp.predict(jnp.asarray([[12.0]]))
+    assert float(v_out[0]) > 5 * float(np.median(np.asarray(var)))
