@@ -339,3 +339,30 @@ def test_sharded_single_pass_svd_matches_single(rng):
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-9)
     rec = np.asarray(u2) @ np.diag(np.asarray(s2)) @ np.asarray(vt2)
     np.testing.assert_allclose(rec, b, atol=1e-8)
+
+
+def test_sharded_sparse_gp_matches_single(rng):
+    # SGPR's heavy factors (K_mn solve, A A^T via tall-skinny QR, A y) are
+    # matmul/QR-shaped over the sample axis: GSPMD partitions them when
+    # the training data arrives row-sharded. Same answer as replicated.
+    _require_8()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from corrla_rs_tpu.ops.gp import SparseGpRegressor
+
+    mesh = make_mesh(8)
+    n = 2048
+    x = np.sort(rng.uniform(0, 6, n))[:, None]
+    y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    sp1 = SparseGpRegressor("rbf", inducing=48, key=3).fit(
+        jnp.asarray(x), jnp.asarray(y)
+    )
+    y_sh = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P("rows")))
+    sp2 = SparseGpRegressor("rbf", inducing=48, key=3).fit(
+        shard_rows(jnp.asarray(x), mesh), y_sh
+    )
+    xq = jnp.asarray(np.linspace(0.3, 5.7, 21)[:, None])
+    m1, v1 = sp1.predict(xq)
+    m2, v2 = sp2.predict(xq)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-9)
