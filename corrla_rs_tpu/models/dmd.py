@@ -339,9 +339,25 @@ def dmdc_fit_ensemble(x_batch, u_batch, n_modes: int, n_iters: int, key=0,
         )
     b, n_x, _n_t = x_batch.shape
     n_u = u_batch.shape[1]
-    n_os = int(cfg.n_oversamples)
-    n_modes = int(n_modes)
-    n_iters = int(n_iters)
+    keys = jax.random.split(as_key(key), b)
+    fitter = _ensemble_fitter(
+        n_x, n_u, int(n_modes), int(n_iters), int(cfg.n_oversamples)
+    )
+    return fitter(x_batch, u_batch, keys)
+
+
+@functools.lru_cache(maxsize=64)
+def _ensemble_fitter(n_x, n_u, n_modes, n_iters, n_os):
+    """Cached jit(vmap(...)) for the full batched fit graph.
+
+    One compiled executable, one dispatch, STABLE function identity: a
+    fresh ``jax.jit(jax.vmap(f))`` per call would re-trace every time
+    (~1.3 s/call measured — the persistent cache only skips the XLA
+    compile, not the trace), while an unjitted vmap eagerly dispatches
+    each stage (~0.5 s/call on this tunneled runtime).
+    """
+    from corrla_rs_tpu.ops.eig_device import eig_device
+    from corrla_rs_tpu.ops.mat_utils import pinv_comp_parts
 
     def fit_one(x, u, k):
         a_til, b_op, tmp_modes_scale, u_hat = _dmdc_reduce_kernel(
@@ -358,8 +374,7 @@ def dmdc_fit_ensemble(x_batch, u_batch, n_modes: int, n_iters: int, key=0,
             a_til=a_til, b_op=b_op, u_hat=u_hat, w_re=w_re, w_im=w_im,
         )
 
-    keys = jax.random.split(as_key(key), b)
-    return jax.vmap(fit_one)(x_batch, u_batch, keys)
+    return jax.jit(jax.vmap(fit_one))
 
 
 def rollout_ensemble(fit, x0_batch, u_seq, method: str = "reduced"):
@@ -376,12 +391,17 @@ def rollout_ensemble(fit, x0_batch, u_seq, method: str = "reduced"):
     if u_seq.ndim == 2:
         u_seq = jnp.broadcast_to(u_seq, (b,) + u_seq.shape)
     if method == "reduced":
-        return jax.vmap(_rollout_reduced)(
+        return _ROLLOUT_REDUCED_BATCHED(
             fit["u_hat"], fit["a_til"], fit["b_op"], x0_batch, u_seq
         )
     if method == "modes":
-        return jax.vmap(_rollout_factored)(
+        return _ROLLOUT_FACTORED_BATCHED(
             fit["modes_re"], fit["modes_im"], fit["w_re"], fit["w_im"],
             fit["b_op"], x0_batch, u_seq,
         )
     raise ValueError(f"method must be 'reduced' or 'modes', got {method!r}")
+
+
+# stable-identity batched rollouts (see _ensemble_fitter docstring)
+_ROLLOUT_REDUCED_BATCHED = jax.jit(jax.vmap(_rollout_reduced))
+_ROLLOUT_FACTORED_BATCHED = jax.jit(jax.vmap(_rollout_factored))
