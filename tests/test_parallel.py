@@ -366,3 +366,39 @@ def test_sharded_sparse_gp_matches_single(rng):
     m2, v2 = sp2.predict(xq)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-7)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-9)
+
+
+def test_member_sharded_ensemble_dmdc(rng):
+    # the ensemble (vmap) axis is embarrassingly parallel: members shard
+    # across the mesh via GSPMD (each device fits its own DMDc models,
+    # incl. the batched Francis-QR eig), same answer as replicated
+    _require_8()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble, rollout_ensemble
+    from corrla_rs_tpu.ops.mat_utils import mat_linspace
+
+    x = mat_linspace(0.0, 10.0, 20)[:, 0]
+    t = mat_linspace(0.0, 10.0, 40)[:, 0]
+    u = jnp.exp(0.2 * t)[None, :]
+    base = jnp.sin(x[:, None] + 0.2 * t[None, :]) * u
+    B = 8
+    batch = base[None] + 1e-3 * jnp.asarray(
+        rng.standard_normal((B,) + base.shape)
+    )
+    u_b = jnp.broadcast_to(u, (B,) + u.shape)
+    fit1 = dmdc_fit_ensemble(batch, u_b, n_modes=6, n_iters=40, key=4)
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("rows"))
+    fit2 = dmdc_fit_ensemble(
+        jax.device_put(batch, sh), jax.device_put(jnp.asarray(u_b), sh),
+        n_modes=6, n_iters=40, key=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fit2["lambdas_re"]), np.asarray(fit1["lambdas_re"]),
+        atol=1e-12,
+    )
+    pred = rollout_ensemble(fit2, batch[:, :, 0:1], u, method="reduced")
+    err = np.abs(np.asarray(pred[:, :, 19]) - np.asarray(batch[:, :, 20]))
+    assert err.max() < 5e-2
