@@ -96,6 +96,29 @@ def main():
     print(f"batched eig (64 operators, one vmapped call): spectral radius "
           f"p5/p50/p95 = {np.percentile(rho, [5, 50, 95]).round(3)}")
 
+    # Ensemble DMDc: 16 complete fits (RSVDs + Francis-QR eig + modes) in
+    # one vmapped dispatch — bootstrap-style spectral UQ
+    from corrla_rs_tpu import dmdc_fit_ensemble, rollout_ensemble
+    from corrla_rs_tpu.ops.mat_utils import mat_linspace
+
+    xg = mat_linspace(0.0, 10.0, 20)[:, 0].astype(np.float32)
+    tg = mat_linspace(0.0, 10.0, 40)[:, 0].astype(np.float32)
+    uc = jnp.exp(0.2 * tg)[None, :]
+    snap = jnp.sin(xg[:, None] + 0.2 * tg[None, :]) * uc
+    ens = snap[None] + 2e-3 * jnp.asarray(
+        rng.standard_normal((16,) + snap.shape).astype(np.float32))
+    fit = dmdc_fit_ensemble(
+        ens, jnp.broadcast_to(uc, (16,) + uc.shape), n_modes=6,
+        n_iters=40, key=11,
+    )
+    lam = np.asarray(fit["lambdas_re"]) + 1j * np.asarray(fit["lambdas_im"])
+    rho = np.abs(lam).max(axis=1)
+    pred = rollout_ensemble(fit, ens[:, :, 0:1], uc, method="reduced")
+    errs = np.abs(np.asarray(pred[:, :, 19]) - np.asarray(ens[:, :, 20]))
+    print(f"ensemble DMDc (16 members, one dispatch): dominant |lambda| "
+          f"{rho.min():.4f}..{rho.max():.4f}; worst rollout err "
+          f"{errs.max():.1e}")
+
     # DREAM + diagnostics
     def lnp(q):
         return -0.5 * jnp.sum(q**2)
