@@ -326,9 +326,6 @@ def dmdc_fit_ensemble(x_batch, u_batch, n_modes: int, n_iters: int, key=0,
       ``w_re/w_im`` (B, r, n_x) — factored dynamics (A = Phi_r W_r -
       Phi_i W_i), ready for ``rollout_ensemble``.
     """
-    from corrla_rs_tpu.ops.eig_device import eig_device
-    from corrla_rs_tpu.ops.mat_utils import pinv_comp_parts
-
     cfg = config or DmdConfig()
     x_batch = jnp.asarray(x_batch)
     u_batch = jnp.asarray(u_batch)

@@ -28,10 +28,17 @@ __all__ = ["latin_hypercube", "sobol_sample", "halton_sample"]
 
 
 def _box(bounds):
+    """(d, lo, span) from a (d, 2) bounds array — the single
+    bounds-parsing helper shared by ops/sobol and ops/morris too."""
     bounds = np.asarray(bounds, dtype=np.float64)
     lo = jnp.asarray(bounds[:, 0])
     span = jnp.asarray(bounds[:, 1] - bounds[:, 0])
     return bounds.shape[0], lo, span
+
+
+def _seed_from_key(key) -> int:
+    """Derive a scipy.qmc integer seed from a jax PRNG key."""
+    return int(np.asarray(jax.random.key_data(as_key(key)))[-1])
 
 
 def latin_hypercube(bounds, n_samples: int, key=0, n_candidates: int = 1):
@@ -63,7 +70,9 @@ def latin_hypercube(bounds, n_samples: int, key=0, n_candidates: int = 1):
 
         def min_dist(pts):
             d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
-            d2 = d2 + jnp.eye(n) * jnp.inf
+            # mask the diagonal with where, NOT `+ eye*inf` (0*inf = NaN
+            # off-diagonal, which poisons every score)
+            d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
             return jnp.min(d2)
 
         scores = jax.vmap(min_dist)(cands)
@@ -77,8 +86,8 @@ def sobol_sample(bounds, n_samples: int, key=0):
     from scipy.stats import qmc
 
     d, lo, span = _box(bounds)
-    seed = int(np.asarray(jax.random.key_data(as_key(key)))[-1])
-    u = qmc.Sobol(d, scramble=True, seed=seed).random(int(n_samples))
+    u = qmc.Sobol(d, scramble=True, seed=_seed_from_key(key)).random(
+        int(n_samples))
     return lo + jnp.asarray(u) * span
 
 
@@ -87,6 +96,6 @@ def halton_sample(bounds, n_samples: int, key=0):
     from scipy.stats import qmc
 
     d, lo, span = _box(bounds)
-    seed = int(np.asarray(jax.random.key_data(as_key(key)))[-1])
-    u = qmc.Halton(d, scramble=True, seed=seed).random(int(n_samples))
+    u = qmc.Halton(d, scramble=True, seed=_seed_from_key(key)).random(
+        int(n_samples))
     return lo + jnp.asarray(u) * span

@@ -389,8 +389,14 @@ def eigvals_device(a: jnp.ndarray, max_iters: int | None = None,
     """
     if balance:
         a, _d = _balance(jnp.asarray(a))
-    t, _q, _ok = schur(a, max_iters=max_iters)
-    return _eigvals_from_schur(t)
+    t, _q, ok = schur(a, max_iters=max_iters)
+    lam_re, lam_im = _eigvals_from_schur(t)
+    # non-convergence (max_iters exhausted) must not return plausible
+    # garbage: poison the outputs with NaN so callers (and the debug/
+    # NaN-check mode) see a loud failure instead of silently wrong
+    # spectra — raising is impossible under jit
+    nan = jnp.asarray(jnp.nan, lam_re.dtype)
+    return jnp.where(ok, lam_re, nan), jnp.where(ok, lam_im, nan)
 
 
 # ---------------------------------------------------------------------------

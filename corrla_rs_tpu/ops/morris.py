@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from corrla_rs_tpu.ops.design import _box
 from corrla_rs_tpu.utils.prng import as_key
 
 __all__ = ["morris_trajectories", "morris_screening"]
@@ -38,10 +39,7 @@ def morris_trajectories(bounds, n_traj: int, key=0, n_levels: int = 4):
     the box. ``signs[t, j]`` is the direction coordinate ``order[t, j]``
     moved at step j of trajectory t.
     """
-    bounds = np.asarray(bounds, dtype=np.float64)
-    d = bounds.shape[0]
-    lo = jnp.asarray(bounds[:, 0])
-    span = jnp.asarray(bounds[:, 1] - bounds[:, 0])
+    d, lo, span = _box(bounds)
     p = int(n_levels)
     if p < 2 or p % 2:
         raise ValueError(f"n_levels must be even and >= 2, got {n_levels}")
@@ -81,9 +79,11 @@ def morris_screening(f, bounds, n_traj: int = 64, key=0, n_levels: int = 4):
     ``mu_star`` (mean |EE| — the importance ranking), ``sigma`` (std EE —
     nonlinearity/interactions), each (d,), plus ``ee`` (r, d) raw effects.
     """
-    bounds = np.asarray(bounds, dtype=np.float64)
-    d = bounds.shape[0]
-    span = jnp.asarray(bounds[:, 1] - bounds[:, 0])
+    if n_traj < 2:
+        raise ValueError(
+            f"n_traj must be >= 2 (sigma uses ddof=1), got {n_traj}"
+        )
+    d, _lo, span = _box(bounds)
     pts, signs, order = morris_trajectories(
         bounds, n_traj, key=key, n_levels=n_levels
     )

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from corrla_rs_tpu.ops.design import _box, _seed_from_key
 from corrla_rs_tpu.utils.prng import as_key
 
 __all__ = ["saltelli_plan", "sobol_indices"]
@@ -43,16 +44,13 @@ def saltelli_plan(bounds, n_base: int, key=0, plan: str = "uniform"):
     plan="sobol": scrambled Sobol' sequence from scipy.stats.qmc (host
     setup; first 2d dims split into the A | B halves per Saltelli 2010).
     """
-    bounds = np.asarray(bounds, dtype=np.float64)
-    d = bounds.shape[0]
-    lo = jnp.asarray(bounds[:, 0])
-    span = jnp.asarray(bounds[:, 1] - bounds[:, 0])
+    d, lo, span = _box(bounds)
 
     if plan == "sobol":
         from scipy.stats import qmc
 
-        seed = int(np.asarray(jax.random.key_data(as_key(key)))[-1])
-        u = qmc.Sobol(2 * d, scramble=True, seed=seed).random(n_base)
+        u = qmc.Sobol(2 * d, scramble=True,
+                      seed=_seed_from_key(key)).random(n_base)
         ua = jnp.asarray(u[:, :d])
         ub = jnp.asarray(u[:, d:])
     elif plan == "uniform":
@@ -97,7 +95,8 @@ def sobol_indices(f, bounds, n_base: int, key=0, plan: str = "uniform",
     def estimate(f_a, f_b, f_ab):
         mu = 0.5 * (jnp.mean(f_a) + jnp.mean(f_b))
         var = 0.5 * (jnp.var(f_a) + jnp.var(f_b))
-        var = jnp.maximum(var, jnp.asarray(1e-300, f_a.dtype))
+        var = jnp.maximum(var, jnp.asarray(jnp.finfo(f_a.dtype).tiny,
+                                           f_a.dtype))
         s1 = jnp.mean(f_b[None, :] * (f_ab - f_a[None, :]), axis=1) / var
         st = 0.5 * jnp.mean((f_a[None, :] - f_ab) ** 2, axis=1) / var
         return mu, var, s1, st

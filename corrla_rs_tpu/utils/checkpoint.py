@@ -40,7 +40,7 @@ def _builtin_registry():
     from corrla_rs_tpu.models.pca import PcaRsvd
     from corrla_rs_tpu.models.pod import PodI
     from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
-    from corrla_rs_tpu.ops.gp import GpRegressor
+    from corrla_rs_tpu.ops.gp import GpRegressor, SparseGpRegressor
     from corrla_rs_tpu.ops.interp import RbfInterp
     from corrla_rs_tpu.ops.univariate_rv import (
         BetaRv,
@@ -52,7 +52,8 @@ def _builtin_registry():
 
     for cls in (PcaRsvd, PodI, DMDc, RbfInterp, FittedActiveSsRsvd,
                 NormalRv, BetaRv, ExponentialRv, KdeRv,
-                GpRegressor, GaussianCopula, BivariateCopula, CVineCopula):
+                GpRegressor, SparseGpRegressor, GaussianCopula,
+                BivariateCopula, CVineCopula):
         _REGISTRY.setdefault(cls.__name__, cls)
 
 

@@ -173,3 +173,21 @@ def test_copula_checkpoint_roundtrips(rng, tmp_path):
     assert len(v2.pairs) == len(v.pairs)
     fam0, th0 = v2.pairs[0][0]
     assert fam0 == v.pairs[0][0][0]
+
+
+def test_sparse_gp_checkpoint_roundtrip(rng, tmp_path):
+    from corrla_rs_tpu.ops.gp import SparseGpRegressor
+
+    x = np.sort(rng.uniform(0, 6, 200))[:, None]
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(200)
+    sp = SparseGpRegressor("rbf", inducing=16, key=1).fit(
+        jnp.asarray(x), jnp.asarray(y), optimize_hypers=False
+    )
+    path = str(tmp_path / "sgpr.npz")
+    save_model(path, sp)
+    sp2 = load_model(path)
+    xq = jnp.asarray(np.linspace(0.5, 5.5, 11)[:, None])
+    m1, v1 = sp.predict(xq)
+    m2, v2 = sp2.predict(xq)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-12)

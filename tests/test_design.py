@@ -44,6 +44,19 @@ def test_lhs_maximin_improves_min_distance():
     base = min(min_dist(latin_hypercube(b, 32, key=k)) for k in range(5))
     best = min_dist(latin_hypercube(b, 32, key=0, n_candidates=32))
     assert best >= base
+    # the selection must return the TRUE argmax over candidates (the
+    # original `+ eye*inf` scoring NaN-poisoned every score and always
+    # returned candidate 0 — caught in review, fixed with a where-mask)
+    import jax
+
+    keys = jax.random.split(
+        __import__("corrla_rs_tpu.utils.prng", fromlist=["as_key"]).as_key(0),
+        8,
+    )
+    cands = [np.asarray(latin_hypercube(b, 16, key=k)) for k in keys]
+    scores = [min_dist(c) for c in cands]
+    chosen = min_dist(latin_hypercube(b, 16, key=0, n_candidates=8))
+    assert abs(chosen - max(scores)) < 1e-12, (chosen, max(scores))
 
 
 @pytest.mark.parametrize("fn", [sobol_sample, halton_sample])

@@ -293,3 +293,13 @@ def test_balancing_recovers_graded_matrix(rng):
     v = np.asarray(vr) + 1j * np.asarray(vi)
     resid = np.abs(graded @ v - v * lam[None, :]).max()
     assert resid < 1e-9 * np.abs(graded).max()
+
+
+def test_non_convergence_poisons_with_nan(rng):
+    # max_iters too small -> NaN eigenvalues, never plausible garbage
+    a = jnp.asarray(rng.standard_normal((12, 12)))
+    lr, li = eigvals_device(a, max_iters=1)
+    assert np.isnan(np.asarray(lr)).all()
+    assert np.isnan(np.asarray(li)).all()
+    lr, li = eigvals_device(a)
+    assert np.isfinite(np.asarray(lr)).all()

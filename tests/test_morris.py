@@ -68,3 +68,8 @@ def test_ishigami_screening_ranks_inputs():
 def test_validation():
     with pytest.raises(ValueError, match="n_levels"):
         morris_trajectories(np.array([[0.0, 1.0]]), 4, n_levels=3)
+
+
+def test_n_traj_validation():
+    with pytest.raises(ValueError, match="n_traj"):
+        morris_screening(lambda x: x[:, 0], np.array([[0.0, 1.0]]), n_traj=1)
