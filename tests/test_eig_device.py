@@ -303,3 +303,19 @@ def test_non_convergence_poisons_with_nan(rng):
     assert np.isnan(np.asarray(li)).all()
     lr, li = eigvals_device(a)
     assert np.isfinite(np.asarray(lr)).all()
+
+
+def test_batched_stack_auto_vmaps(rng):
+    b = jnp.asarray(rng.standard_normal((3, 7, 7)))
+    lr, li = eigvals_device(b)
+    assert lr.shape == (3, 7)
+    lr2, li2, vr, vi = eig_device(b)
+    assert vr.shape == (3, 7, 7)
+    for i in range(3):
+        lam = _sorted_complex(lr[i], li[i])
+        ref = np.sort_complex(np.linalg.eigvals(np.asarray(b[i])))
+        np.testing.assert_allclose(lam, ref, atol=1e-11)
+        lamc = np.asarray(lr2[i]) + 1j * np.asarray(li2[i])
+        vc = np.asarray(vr[i]) + 1j * np.asarray(vi[i])
+        resid = np.abs(np.asarray(b[i]) @ vc - vc * lamc[None, :]).max()
+        assert resid < 1e-11
