@@ -179,6 +179,8 @@ def test_eig_device_on_product_backend_subprocess():
     import sys
 
     script = (
+        "from corrla_rs_tpu.utils.cache import enable_persistent_cache\n"
+        "enable_persistent_cache()\n"
         "import numpy as np\n"
         "import jax, jax.numpy as jnp\n"
         "from corrla_rs_tpu.ops.eig_device import eig_device\n"
@@ -193,9 +195,11 @@ def test_eig_device_on_product_backend_subprocess():
         "assert err < 1e-4, err\n"
         "print('EIG_DEVICE_OK')\n"
     )
+    # 900 s: first compile of the while-loop program on the remote TPU
+    # compiler can take minutes when another process holds the tunnel
     res = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
-        timeout=600,
+        timeout=900,
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "EIG_DEVICE_OK" in res.stdout
