@@ -43,6 +43,7 @@ from corrla_rs_tpu.models.active_subspaces import (
 )
 from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble, rollout_ensemble
 from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
+from corrla_rs_tpu.ops.deim import deim_points, deim_reconstruct
 from corrla_rs_tpu.ops.design import (
     halton_sample,
     latin_hypercube,
@@ -133,6 +134,8 @@ __all__ = [
     "saltelli_plan",
     "morris_screening",
     "morris_trajectories",
+    "deim_points",
+    "deim_reconstruct",
     "dmdc_fit_ensemble",
     "rollout_ensemble",
     "gelman_rubin",
