@@ -52,6 +52,7 @@ from corrla_rs_tpu.ops.design import (
 from corrla_rs_tpu.ops.eig import eig, eig_host
 from corrla_rs_tpu.ops.eig_device import eig_device, eigvals_device, schur
 from corrla_rs_tpu.ops.morris import morris_screening, morris_trajectories
+from corrla_rs_tpu.ops.pce import PolynomialChaos
 from corrla_rs_tpu.ops.sobol import saltelli_plan, sobol_indices
 from corrla_rs_tpu.ops.vine import CVineCopula
 from corrla_rs_tpu.ops.diagnostics import effective_sample_size, gelman_rubin
@@ -136,6 +137,7 @@ __all__ = [
     "morris_trajectories",
     "deim_points",
     "deim_reconstruct",
+    "PolynomialChaos",
     "dmdc_fit_ensemble",
     "rollout_ensemble",
     "gelman_rubin",

@@ -1,0 +1,101 @@
+"""Polynomial chaos expansion (ops/pce) — extension tests.
+
+Oracles: exact recovery of polynomial models (a degree-<=order model has
+an exact finite PCE), analytic Ishigami Sobol' indices, and closed-form
+moments of simple functions under the input measures.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu.ops.design import sobol_sample
+from corrla_rs_tpu.ops.pce import PolynomialChaos, total_degree_multi_indices
+
+
+def test_multi_index_count():
+    # P = C(d + p, p)
+    from math import comb
+
+    for d, p in ((2, 3), (3, 5), (5, 2)):
+        idx = total_degree_multi_indices(d, p)
+        assert idx.shape == (comb(d + p, p), d)
+        assert (idx.sum(axis=1) <= p).all()
+        assert tuple(idx[0]) == (0,) * d
+
+
+def test_exact_polynomial_recovery_uniform(rng):
+    # f = 2 + 3 x1 + x2^2 - x1 x2 on a box: order-2 PCE is exact
+    bounds = np.array([[-1.0, 2.0], [0.0, 3.0]])
+    x = rng.uniform(bounds[:, 0], bounds[:, 1], (400, 2))
+
+    def f(x):
+        return 2 + 3 * x[:, 0] + x[:, 1] ** 2 - x[:, 0] * x[:, 1]
+
+    pce = PolynomialChaos(2, "uniform", bounds).fit(jnp.asarray(x),
+                                                    f(jnp.asarray(x)))
+    assert pce.r2 > 1 - 1e-12
+    xq = rng.uniform(bounds[:, 0], bounds[:, 1], (50, 2))
+    np.testing.assert_allclose(
+        np.asarray(pce.predict(jnp.asarray(xq))), np.asarray(f(xq)),
+        rtol=1e-9,
+    )
+    # analytic moments: mean/var of f under U(box) via dense quadrature
+    g1 = np.linspace(bounds[0, 0], bounds[0, 1], 4001)
+    g2 = np.linspace(bounds[1, 0], bounds[1, 1], 4001)
+    gg = np.stack(np.meshgrid(g1, g2, indexing="ij"), axis=-1).reshape(-1, 2)
+    vals = np.asarray(f(jnp.asarray(gg)))
+    np.testing.assert_allclose(pce.mean, vals.mean(), rtol=1e-4)
+    np.testing.assert_allclose(pce.var, vals.var(), rtol=1e-3)
+
+
+def test_ishigami_sobol_via_pce():
+    bounds = np.array([[-np.pi, np.pi]] * 3)
+
+    def ishigami(x):
+        return (jnp.sin(x[:, 0]) + 7.0 * jnp.sin(x[:, 1]) ** 2
+                + 0.1 * x[:, 2] ** 4 * jnp.sin(x[:, 0]))
+
+    x = sobol_sample(bounds, 4096, key=1)
+    pce = PolynomialChaos(9, "uniform", bounds).fit(x, ishigami(x))
+    assert pce.r2 > 0.999
+    out = pce.sobol_indices()
+    s1_ref = np.array([0.3139, 0.4424, 0.0])
+    st_ref = np.array([0.5576, 0.4424, 0.2437])
+    np.testing.assert_allclose(np.asarray(out["s1"]), s1_ref, atol=0.01)
+    np.testing.assert_allclose(np.asarray(out["st"]), st_ref, atol=0.01)
+
+
+def test_gaussian_hermite_exact(rng):
+    # f = x1 + x1^2 + 0.5 x2 with xi ~ N(mu_i, s_i^2): order-2 Hermite
+    # PCE exact; Var = s1^2 + 2 s1^4 ... compute via the standardized form
+    mean = np.array([1.0, -2.0])
+    std = np.array([0.5, 2.0])
+    x = mean + std * rng.standard_normal((500, 2))
+
+    def f(x):
+        return x[:, 0] + x[:, 0] ** 2 + 0.5 * x[:, 1]
+
+    pce = PolynomialChaos(2, "gaussian", mean=mean, std=std).fit(
+        jnp.asarray(x), f(jnp.asarray(x))
+    )
+    assert pce.r2 > 1 - 1e-12
+    # analytic: E[f] = mu1 + mu1^2 + s1^2 + 0.5 mu2
+    np.testing.assert_allclose(
+        pce.mean, mean[0] + mean[0] ** 2 + std[0] ** 2 + 0.5 * mean[1],
+        rtol=1e-10,
+    )
+    # Var[f] = Var[x1 + x1^2] + 0.25 Var[x2]
+    #        = (1 + 2 mu1)^2 s1^2 + 2 s1^4 + 0.25 s2^2
+    var_ref = (1 + 2 * mean[0]) ** 2 * std[0] ** 2 + 2 * std[0] ** 4 \
+        + 0.25 * std[1] ** 2
+    np.testing.assert_allclose(pce.var, var_ref, rtol=1e-9)
+
+
+def test_validation(rng):
+    with pytest.raises(ValueError, match="bounds"):
+        PolynomialChaos(2, "uniform")
+    with pytest.raises(ValueError, match="dist"):
+        PolynomialChaos(2, "beta")
+    pce = PolynomialChaos(5, "uniform", np.array([[0.0, 1.0]] * 3))
+    with pytest.raises(ValueError, match="samples"):
+        pce.fit(jnp.ones((10, 3)), jnp.ones(10))
