@@ -10,13 +10,16 @@ produce:
   (Gelman et al., BDA3 / Vehtari et al. 2021 split-R-hat).
 - ``effective_sample_size``: autocorrelation-based ESS via FFT
   (Geyer initial positive sequence).
+- ``rank_normalized_rhat``: the Vehtari et al. 2021 rank-normalized +
+  folded split-R-hat (catches scale-only mixing failures and heavy
+  tails that plain R-hat misses).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gelman_rubin", "effective_sample_size"]
+__all__ = ["gelman_rubin", "effective_sample_size", "rank_normalized_rhat"]
 
 
 def _split_chains(history):
@@ -81,3 +84,44 @@ def effective_sample_size(history) -> jnp.ndarray:
             tau += 2.0 * pair
         ess[k] = n * m / tau
     return jnp.asarray(ess)
+
+
+def rank_normalized_rhat(history) -> jnp.ndarray:
+    """Rank-normalized + folded split-R-hat (Vehtari et al. 2021).
+
+    The modern convergence check: plain R-hat misses poor mixing when
+    chains differ in scale but not location (and vice versa), and is
+    distorted by heavy tails. This computes split-R-hat on
+    rank-normalized draws (max of the bulk statistic and the folded
+    statistic on |x - median|, which targets the tails). Convergence
+    rule of thumb: max over dims < 1.01.
+
+    Args:
+      history: (n_generations, n_chains, ndim) post burn-in.
+    Returns:
+      (ndim,) rank-normalized R-hat values.
+    """
+    from jax.scipy.special import ndtri
+
+    h = jnp.asarray(history)
+    n, m, d = h.shape
+
+    def _rank_normal(x):
+        # x: (n, m) one dimension; average ranks over the pooled draws,
+        # Blom offset, map through the standard-normal quantile function
+        flat = x.reshape(-1)
+        order = jnp.argsort(flat)
+        ranks = jnp.zeros_like(flat).at[order].set(
+            jnp.arange(1, flat.shape[0] + 1, dtype=x.dtype)
+        )
+        z = ndtri((ranks - 0.375) / (flat.shape[0] + 0.25))
+        return z.reshape(n, m)
+
+    out = []
+    for k in range(d):
+        x = h[:, :, k]
+        bulk = gelman_rubin(_rank_normal(x)[:, :, None])[0]
+        folded = jnp.abs(x - jnp.median(x))
+        tail = gelman_rubin(_rank_normal(folded)[:, :, None])[0]
+        out.append(jnp.maximum(bulk, tail))
+    return jnp.stack(out)

@@ -107,3 +107,23 @@ def test_logger():
     lg = get_logger()
     assert lg.name == "corrla_rs_tpu"
     lg.info("no-op with NullHandler")
+
+
+def test_rank_normalized_rhat(rng):
+    from corrla_rs_tpu.ops.diagnostics import rank_normalized_rhat
+
+    # well-mixed chains: all statistics near 1
+    good = rng.standard_normal((400, 8, 2))
+    r = np.asarray(rank_normalized_rhat(good))
+    assert r.shape == (2,)
+    assert (r < 1.05).all(), r
+    # scale-only mixing failure: same mean, very different variances —
+    # plain location-based R-hat stays low, the folded statistic fires
+    bad = rng.standard_normal((400, 8, 1))
+    bad[:, :4, 0] *= 6.0
+    from corrla_rs_tpu.ops.diagnostics import gelman_rubin
+
+    r_plain = float(np.asarray(gelman_rubin(bad))[0])
+    r_rank = float(np.asarray(rank_normalized_rhat(bad))[0])
+    assert r_rank > 1.2, (r_plain, r_rank)
+    assert r_rank > r_plain
