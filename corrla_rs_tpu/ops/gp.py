@@ -223,9 +223,13 @@ class SparseGpRegressor:
         self._key = key
         self.x_ind = None
 
-    def _log_params(self):
+    def _log_params_std(self):
+        """Hyperparameters in STANDARDIZED-y units (the internal fit
+        space): variances scale with y^2, the length scale does not.
+        Public attributes stay in raw-y units."""
+        s2 = float(self._y_scale) ** 2
         return jnp.log(jnp.asarray(
-            [self.length_scale, self.signal_var, self.noise_var]
+            [self.length_scale, self.signal_var / s2, self.noise_var / s2]
         ))
 
     def fit(self, x, y, optimize_hypers: bool = True):
@@ -236,7 +240,17 @@ class SparseGpRegressor:
         if y.ndim == 2:
             y = y[:, 0]
         self._y_mean = jnp.mean(y)
-        yc = y - self._y_mean
+        # standardize y for the fit: the ELBO has a degenerate optimum at
+        # signal_var -> 0 ("it's all noise") that BFGS falls into when the
+        # kernel init is mis-scaled relative to var(y) (observed on
+        # variance-14 data with the unit default). Fitting on unit-variance
+        # targets keeps any reasonable init in the right basin; the user's
+        # variances are converted into the standardized space and back, so
+        # optimize_hypers=False reproduces the exact raw-units model.
+        self._y_scale = jnp.maximum(
+            jnp.std(y), jnp.asarray(jnp.finfo(y.dtype).tiny, y.dtype)
+        )
+        yc = (y - self._y_mean) / self._y_scale
         if isinstance(self._inducing_spec, int):
             m = min(self._inducing_spec, x.shape[0])
             idx = jax.random.choice(
@@ -246,20 +260,30 @@ class SparseGpRegressor:
         else:
             self.x_ind = jnp.asarray(self._inducing_spec)
         if optimize_hypers:
+            # the BFGS START interprets the constructor's variances in the
+            # STANDARDIZED space (so the unit defaults mean "signal_var ~
+            # var(y)" — the robust basin); fitted values are stored in raw
+            # units. With optimize_hypers=False the constructor's values
+            # are raw units, exactly as for GpRegressor.
+            init = jnp.log(jnp.asarray(
+                [self.length_scale, self.signal_var, self.noise_var]
+            ))
             res = _jsp_minimize(
                 lambda lp: _sgpr_neg_elbo(lp, x, yc, self.x_ind,
                                           self.kernel),
-                self._log_params(), method="BFGS",
+                init, method="BFGS",
             )
             good = jnp.all(jnp.isfinite(res.x))
-            lp = jnp.where(good, res.x, self._log_params())
-            self.length_scale, self.signal_var, self.noise_var = (
-                float(v) for v in jnp.exp(lp)
-            )
+            lp = jnp.where(good, res.x, init)
+            s2 = float(self._y_scale) ** 2
+            ls, sv, nv = (float(v) for v in jnp.exp(lp))
+            self.length_scale = ls
+            self.signal_var = sv * s2
+            self.noise_var = nv * s2
         self._yc = yc
         self.x_train = x
         l_mm, l_b, _a, c = _sgpr_factors(
-            x, yc, self.x_ind, self._log_params(), self.kernel
+            x, yc, self.x_ind, self._log_params_std(), self.kernel
         )
         self._l_mm, self._l_b, self._c = l_mm, l_b, c
         return self
@@ -268,15 +292,17 @@ class SparseGpRegressor:
         xq = jnp.asarray(xq)
         mean, var = _sgpr_predict(
             self.x_ind, self._l_mm, self._l_b, self._c,
-            self._log_params(), xq, self.kernel,
+            self._log_params_std(), xq, self.kernel,
         )
-        mean = mean + self._y_mean
+        mean = mean * self._y_scale + self._y_mean
+        var = var * self._y_scale ** 2
         return (mean, var) if return_var else mean
 
     def elbo(self) -> float:
-        """Collapsed variational lower bound on log p(y) (total, not /n)."""
+        """Collapsed variational lower bound on log p(y_standardized)
+        (total, not /n; the fit-space objective)."""
         n = self.x_train.shape[0]
         return -float(_sgpr_neg_elbo(
-            self._log_params(), self.x_train, self._yc, self.x_ind,
+            self._log_params_std(), self.x_train, self._yc, self.x_ind,
             self.kernel,
         )) * n
