@@ -100,28 +100,30 @@ def rank_normalized_rhat(history) -> jnp.ndarray:
       history: (n_generations, n_chains, ndim) post burn-in.
     Returns:
       (ndim,) rank-normalized R-hat values.
-    """
-    from jax.scipy.special import ndtri
 
-    h = jnp.asarray(history)
+    Host-side (scipy average-rank ties), like ``effective_sample_size``
+    — a post-processing diagnostic, not a hot path.
+    """
+    from scipy.stats import norm, rankdata
+
+    h = np.asarray(history, dtype=np.float64)
     n, m, d = h.shape
 
     def _rank_normal(x):
-        # x: (n, m) one dimension; average ranks over the pooled draws,
-        # Blom offset, map through the standard-normal quantile function
-        flat = x.reshape(-1)
-        order = jnp.argsort(flat)
-        ranks = jnp.zeros_like(flat).at[order].set(
-            jnp.arange(1, flat.shape[0] + 1, dtype=x.dtype)
-        )
-        z = ndtri((ranks - 0.375) / (flat.shape[0] + 0.25))
+        # x: (n, m) one dimension; AVERAGE ranks over the pooled draws
+        # (MCMC histories are tie-heavy — every rejection duplicates the
+        # previous draw; position-based ranks would split tie blocks
+        # systematically by chain and inflate R-hat on converged chains),
+        # Blom offset, standard-normal quantile transform
+        ranks = rankdata(x.reshape(-1), method="average")
+        z = norm.ppf((ranks - 0.375) / (x.size + 0.25))
         return z.reshape(n, m)
 
     out = []
     for k in range(d):
         x = h[:, :, k]
-        bulk = gelman_rubin(_rank_normal(x)[:, :, None])[0]
-        folded = jnp.abs(x - jnp.median(x))
-        tail = gelman_rubin(_rank_normal(folded)[:, :, None])[0]
-        out.append(jnp.maximum(bulk, tail))
-    return jnp.stack(out)
+        bulk = float(gelman_rubin(_rank_normal(x)[:, :, None])[0])
+        folded = np.abs(x - np.median(x))
+        tail = float(gelman_rubin(_rank_normal(folded)[:, :, None])[0])
+        out.append(max(bulk, tail))
+    return jnp.asarray(out)

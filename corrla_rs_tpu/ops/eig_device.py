@@ -392,9 +392,7 @@ def eigvals_device(a: jnp.ndarray, max_iters: int | None = None,
     """
     a = jnp.asarray(a)
     if a.ndim == 3:
-        return jax.vmap(
-            lambda m: eigvals_device(m, max_iters=max_iters, balance=balance)
-        )(a)
+        return _batched_eigvals(max_iters, balance)(a)
     if balance:
         a, _d = _balance(jnp.asarray(a))
     t, _q, ok = schur(a, max_iters=max_iters)
@@ -496,11 +494,26 @@ def eig_device(a: jnp.ndarray, max_iters: int | None = None,
     """
     a = jnp.asarray(a)
     if a.ndim == 3:
-        return jax.vmap(
-            lambda m: eig_device(m, max_iters=max_iters, balance=balance)
-        )(a)
+        return _batched_eig(max_iters, balance)(a)
     lam_re, lam_im = eigvals_device(a, max_iters=max_iters, balance=balance)
     # eigenvectors always come from inverse iteration on the ORIGINAL A
     # (balancing only sharpens the eigenvalue estimates feeding it)
     v_re, v_im = _inverse_iteration(a, lam_re, lam_im)
     return lam_re, lam_im, v_re, v_im
+
+
+@functools.lru_cache(maxsize=32)
+def _batched_eigvals(max_iters, balance):
+    """Stable-identity jit(vmap) for (B, n, n) stacks — a fresh wrapper
+    per call would re-trace every time (the pitfall models/dmd's
+    _ensemble_fitter documents)."""
+    return jax.jit(jax.vmap(
+        lambda m: eigvals_device(m, max_iters=max_iters, balance=balance)
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _batched_eig(max_iters, balance):
+    return jax.jit(jax.vmap(
+        lambda m: eig_device(m, max_iters=max_iters, balance=balance)
+    ))

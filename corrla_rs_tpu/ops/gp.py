@@ -212,6 +212,10 @@ class SparseGpRegressor:
     with ``key``) or an (m, d) array of explicit locations.
     """
 
+    # class-level default: checkpoints written before y-standardization
+    # carry no _y_scale; 1.0 reproduces their (unstandardized) pipeline
+    _y_scale = 1.0
+
     def __init__(self, kernel: str = "rbf", length_scale: float = 1.0,
                  signal_var: float = 1.0, noise_var: float = 1e-2,
                  inducing=128, key=0):
@@ -219,6 +223,13 @@ class SparseGpRegressor:
         self.length_scale = float(length_scale)
         self.signal_var = float(signal_var)
         self.noise_var = float(noise_var)
+        # the constructor values double as the (standardized-space) BFGS
+        # init — kept separately so every fit restarts from the SAME spec
+        # (re-using the raw-unit fitted attributes as init compounded by
+        # var(y) per refit; caught in review)
+        self._init_spec = (
+            float(length_scale), float(signal_var), float(noise_var)
+        )
         self._inducing_spec = inducing
         self._key = key
         self.x_ind = None
@@ -260,14 +271,13 @@ class SparseGpRegressor:
         else:
             self.x_ind = jnp.asarray(self._inducing_spec)
         if optimize_hypers:
-            # the BFGS START interprets the constructor's variances in the
+            # the BFGS START interprets the CONSTRUCTOR's variances in the
             # STANDARDIZED space (so the unit defaults mean "signal_var ~
             # var(y)" — the robust basin); fitted values are stored in raw
-            # units. With optimize_hypers=False the constructor's values
-            # are raw units, exactly as for GpRegressor.
-            init = jnp.log(jnp.asarray(
-                [self.length_scale, self.signal_var, self.noise_var]
-            ))
+            # units and refits restart from the same constructor spec.
+            # With optimize_hypers=False the constructor's values are raw
+            # units, exactly as for GpRegressor.
+            init = jnp.log(jnp.asarray(self._init_spec))
             res = _jsp_minimize(
                 lambda lp: _sgpr_neg_elbo(lp, x, yc, self.x_ind,
                                           self.kernel),

@@ -18,7 +18,6 @@ Everything jits; the multi-index set is static (computed on host from
 """
 from __future__ import annotations
 
-import itertools
 import math
 
 import jax.numpy as jnp
@@ -33,11 +32,20 @@ def total_degree_multi_indices(dim: int, order: int) -> np.ndarray:
     """All multi-indices alpha in N^dim with sum(alpha) <= order,
     graded-lexicographic (constant term first). Shape (P, dim),
     P = C(dim + order, order)."""
+    def comps(total, slots):
+        # graded compositions, O(P * dim) — a filtered itertools.product
+        # would enumerate (total+1)^dim tuples, which hangs by dim ~ 12
+        if slots == 1:
+            yield (total,)
+            return
+        for first in range(total + 1):
+            for rest in comps(total - first, slots - 1):
+                yield (first,) + rest
+
     idx = [
         alpha
         for total in range(order + 1)
-        for alpha in itertools.product(range(total + 1), repeat=dim)
-        if sum(alpha) == total
+        for alpha in comps(total, dim)
     ]
     return np.asarray(idx, dtype=np.int32)
 
@@ -122,9 +130,13 @@ class PolynomialChaos:
         y = jnp.asarray(y).reshape(-1)
         d = x.shape[1]
         self._alpha = total_degree_multi_indices(d, self.order)
-        if self.dist == "gaussian" and self._mean is None:
-            self._mean = np.asarray(jnp.mean(x, axis=0), np.float64)
-            self._std = np.asarray(jnp.std(x, axis=0), np.float64)
+        if self.dist == "gaussian":
+            # estimate mean and std INDEPENDENTLY (a user-provided std
+            # must survive a None mean, and vice versa)
+            if self._mean is None:
+                self._mean = np.asarray(jnp.mean(x, axis=0), np.float64)
+            if self._std is None:
+                self._std = np.asarray(jnp.std(x, axis=0), np.float64)
         psi = self._basis(x)                        # (n, P)
         n, p = psi.shape
         if n < p:
@@ -137,7 +149,10 @@ class PolynomialChaos:
         # training diagnostics
         y_hat = jnp.matmul(psi, coeffs, precision=PRECISION)
         ss_res = jnp.sum((y - y_hat) ** 2)
-        ss_tot = jnp.maximum(jnp.sum((y - jnp.mean(y)) ** 2), 1e-300)
+        ss_tot = jnp.maximum(
+            jnp.sum((y - jnp.mean(y)) ** 2),
+            jnp.asarray(jnp.finfo(y.dtype).tiny, y.dtype),
+        )
         self.r2 = float(1.0 - ss_res / ss_tot)
         return self
 

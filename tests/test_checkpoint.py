@@ -191,3 +191,23 @@ def test_sparse_gp_checkpoint_roundtrip(rng, tmp_path):
     m2, v2 = sp2.predict(xq)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-12)
+
+
+def test_sparse_gp_legacy_checkpoint_without_y_scale(rng, tmp_path):
+    # checkpoints written before y-standardization carry no _y_scale; the
+    # class-level default 1.0 reproduces their unstandardized pipeline
+    from corrla_rs_tpu.ops.gp import SparseGpRegressor
+
+    x = np.sort(rng.uniform(0, 6, 100))[:, None]
+    y = np.sin(x[:, 0])
+    sp = SparseGpRegressor("rbf", inducing=12, key=1).fit(
+        jnp.asarray(x), jnp.asarray(y), optimize_hypers=False
+    )
+    path = str(tmp_path / "legacy.npz")
+    save_model(path, sp)
+    sp2 = load_model(path)
+    del sp2.__dict__["_y_scale"]          # simulate a pre-change file
+    xq = jnp.asarray(np.linspace(1, 5, 7)[:, None])
+    m = sp2.predict(xq)[0]                # must not raise
+    assert np.isfinite(np.asarray(m)).all()
+    assert sp2._y_scale == 1.0            # class default

@@ -165,3 +165,19 @@ def test_sparse_gp_large_n(rng):
     # predictive variance inflates outside the data range
     m_out, v_out = sp.predict(jnp.asarray([[12.0]]))
     assert float(v_out[0]) > 5 * float(np.median(np.asarray(var)))
+
+
+def test_sparse_gp_refit_stable(rng):
+    # review finding: refitting the same object compounded the fitted
+    # variances by var(y) per call; inits now restart from the
+    # constructor spec
+    from corrla_rs_tpu.ops.gp import SparseGpRegressor
+
+    x = np.sort(rng.uniform(0, 6, 300))[:, None]
+    y = 50.0 * np.sin(x[:, 0]) + 1.0 * rng.standard_normal(300)
+    sp = SparseGpRegressor("rbf", inducing=24, key=2)
+    sp.fit(jnp.asarray(x), jnp.asarray(y))
+    first = (sp.length_scale, sp.signal_var, sp.noise_var)
+    sp.fit(jnp.asarray(x), jnp.asarray(y))
+    second = (sp.length_scale, sp.signal_var, sp.noise_var)
+    np.testing.assert_allclose(second, first, rtol=1e-6)

@@ -99,3 +99,36 @@ def test_validation(rng):
     pce = PolynomialChaos(5, "uniform", np.array([[0.0, 1.0]] * 3))
     with pytest.raises(ValueError, match="samples"):
         pce.fit(jnp.ones((10, 3)), jnp.ones(10))
+
+
+def test_gaussian_partial_mean_std(rng):
+    # review finding: a user-provided std must survive mean=None (was
+    # silently overwritten), and mean with std=None must not crash
+    mean = np.array([2.0, -1.0])
+    std = np.array([0.3, 1.5])
+    x = mean + std * rng.standard_normal((400, 2))
+
+    def f(x):
+        return x[:, 0] + 2.0 * x[:, 1]
+
+    pce = PolynomialChaos(2, "gaussian", std=std).fit(
+        jnp.asarray(x), f(jnp.asarray(x))
+    )
+    np.testing.assert_array_equal(pce._std, std)      # user std kept
+    assert pce.r2 > 1 - 1e-10
+    pce2 = PolynomialChaos(2, "gaussian", mean=mean).fit(
+        jnp.asarray(x), f(jnp.asarray(x))
+    )
+    np.testing.assert_array_equal(pce2._mean, mean)
+    assert pce2.r2 > 1 - 1e-10
+
+
+def test_multi_index_scales_to_high_dim():
+    import time
+    from math import comb
+
+    t0 = time.time()
+    idx = total_degree_multi_indices(12, 4)
+    assert idx.shape == (comb(16, 4), 12)
+    # the old product-filter enumeration iterated 5^12 ~ 244M tuples here
+    assert time.time() - t0 < 5.0
