@@ -55,7 +55,11 @@ from corrla_rs_tpu.ops.morris import morris_screening, morris_trajectories
 from corrla_rs_tpu.ops.pce import PolynomialChaos
 from corrla_rs_tpu.ops.sobol import saltelli_plan, sobol_indices
 from corrla_rs_tpu.ops.vine import CVineCopula
-from corrla_rs_tpu.ops.diagnostics import effective_sample_size, gelman_rubin
+from corrla_rs_tpu.ops.diagnostics import (
+    effective_sample_size,
+    gelman_rubin,
+    rank_normalized_rhat,
+)
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.gp import GpRegressor, SparseGpRegressor
 from corrla_rs_tpu.ops.interp import RbfInterp
@@ -141,6 +145,7 @@ __all__ = [
     "dmdc_fit_ensemble",
     "rollout_ensemble",
     "gelman_rubin",
+    "rank_normalized_rhat",
     "effective_sample_size",
     "save_model",
     "load_model",
