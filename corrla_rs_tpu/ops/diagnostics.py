@@ -101,10 +101,10 @@ def rank_normalized_rhat(history) -> jnp.ndarray:
     Returns:
       (ndim,) rank-normalized R-hat values.
 
-    Host-side (scipy average-rank ties), like ``effective_sample_size``
+    Host-side (numpy tie-averaged ranks), like ``effective_sample_size``
     — a post-processing diagnostic, not a hot path.
     """
-    from scipy.stats import norm, rankdata
+    from jax.scipy.special import ndtri
 
     h = np.asarray(history, dtype=np.float64)
     n, m, d = h.shape
@@ -114,9 +114,17 @@ def rank_normalized_rhat(history) -> jnp.ndarray:
         # (MCMC histories are tie-heavy — every rejection duplicates the
         # previous draw; position-based ranks would split tie blocks
         # systematically by chain and inflate R-hat on converged chains),
-        # Blom offset, standard-normal quantile transform
-        ranks = rankdata(x.reshape(-1), method="average")
-        z = norm.ppf((ranks - 0.375) / (x.size + 0.25))
+        # Blom offset, standard-normal quantile transform. Tie-averaged
+        # ranks via numpy unique (no scipy dependency): the 1-based
+        # average rank of a tie block of size c starting after s smaller
+        # values is s + (c + 1)/2.
+        flat = x.reshape(-1)
+        _uniq, inv, counts = np.unique(
+            flat, return_inverse=True, return_counts=True
+        )
+        start = np.cumsum(counts) - counts
+        ranks = (start + (counts + 1) / 2.0)[inv]
+        z = np.asarray(ndtri((ranks - 0.375) / (flat.size + 0.25)))
         return z.reshape(n, m)
 
     out = []

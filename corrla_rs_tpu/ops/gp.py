@@ -212,9 +212,12 @@ class SparseGpRegressor:
     with ``key``) or an (m, d) array of explicit locations.
     """
 
-    # class-level default: checkpoints written before y-standardization
-    # carry no _y_scale; 1.0 reproduces their (unstandardized) pipeline
+    # class-level defaults: checkpoints written before these attributes
+    # existed restore via cls.__new__ (no __init__); _y_scale = 1.0
+    # reproduces the pre-standardization pipeline and _init_spec matches
+    # the constructor defaults so a refit still works
     _y_scale = 1.0
+    _init_spec = (1.0, 1.0, 1e-2)
 
     def __init__(self, kernel: str = "rbf", length_scale: float = 1.0,
                  signal_var: float = 1.0, noise_var: float = 1e-2,

@@ -32,6 +32,9 @@ def total_degree_multi_indices(dim: int, order: int) -> np.ndarray:
     """All multi-indices alpha in N^dim with sum(alpha) <= order,
     graded-lexicographic (constant term first). Shape (P, dim),
     P = C(dim + order, order)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
     def comps(total, slots):
         # graded compositions, O(P * dim) — a filtered itertools.product
         # would enumerate (total+1)^dim tuples, which hangs by dim ~ 12
@@ -149,9 +152,10 @@ class PolynomialChaos:
         # training diagnostics
         y_hat = jnp.matmul(psi, coeffs, precision=PRECISION)
         ss_res = jnp.sum((y - y_hat) ** 2)
+        ftype = jnp.result_type(y.dtype, jnp.float32)  # y may be integer
         ss_tot = jnp.maximum(
-            jnp.sum((y - jnp.mean(y)) ** 2),
-            jnp.asarray(jnp.finfo(y.dtype).tiny, y.dtype),
+            jnp.sum((y - jnp.mean(y)) ** 2).astype(ftype),
+            jnp.asarray(jnp.finfo(ftype).tiny, ftype),
         )
         self.r2 = float(1.0 - ss_res / ss_tot)
         return self

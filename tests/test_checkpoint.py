@@ -211,3 +211,23 @@ def test_sparse_gp_legacy_checkpoint_without_y_scale(rng, tmp_path):
     m = sp2.predict(xq)[0]                # must not raise
     assert np.isfinite(np.asarray(m)).all()
     assert sp2._y_scale == 1.0            # class default
+
+
+def test_sparse_gp_legacy_checkpoint_refit(rng, tmp_path):
+    # legacy files also lack _init_spec; the class default must let a
+    # refit run (review finding: AttributeError on fit after load)
+    from corrla_rs_tpu.ops.gp import SparseGpRegressor
+
+    x = np.sort(rng.uniform(0, 6, 80))[:, None]
+    y = np.sin(x[:, 0])
+    sp = SparseGpRegressor("rbf", inducing=10, key=1).fit(
+        jnp.asarray(x), jnp.asarray(y), optimize_hypers=False
+    )
+    path = str(tmp_path / "legacy2.npz")
+    save_model(path, sp)
+    sp2 = load_model(path)
+    sp2.__dict__.pop("_init_spec", None)
+    sp2.__dict__.pop("_y_scale", None)
+    sp2.fit(jnp.asarray(x), jnp.asarray(y))     # must not raise
+    m = sp2.predict(jnp.asarray(x[:5]))[0]
+    assert np.isfinite(np.asarray(m)).all()

@@ -132,3 +132,15 @@ def test_multi_index_scales_to_high_dim():
     assert idx.shape == (comb(16, 4), 12)
     # the old product-filter enumeration iterated 5^12 ~ 244M tuples here
     assert time.time() - t0 < 5.0
+
+
+def test_integer_y_and_dim_validation(rng):
+    bounds = np.array([[0.0, 1.0]] * 2)
+    x = rng.uniform(0, 1, (100, 2))
+    y = (10 * x[:, 0]).astype(np.int32)
+    pce = PolynomialChaos(1, "uniform", bounds).fit(
+        jnp.asarray(x), jnp.asarray(y)
+    )
+    assert np.isfinite(pce.r2)
+    with pytest.raises(ValueError, match="dim"):
+        total_degree_multi_indices(0, 3)
