@@ -195,12 +195,18 @@ def test_eig_device_on_product_backend_subprocess():
         "assert err < 1e-4, err\n"
         "print('EIG_DEVICE_OK')\n"
     )
-    # 900 s: first compile of the while-loop program on the remote TPU
-    # compiler can take minutes when another process holds the tunnel
-    res = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True,
-        timeout=900,
-    )
+    # 900 s + one retry: there is ONE tunneled chip; a concurrent process
+    # (another test's subprocess, a parallel session) can starve this
+    # subprocess through its first compile. Passes in ~7 s warm-cache
+    # solo; a genuine regression fails both attempts.
+    res = None
+    for _attempt in range(2):
+        res = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=900,
+        )
+        if res.returncode == 0:
+            break
     assert res.returncode == 0, res.stderr[-2000:]
     assert "EIG_DEVICE_OK" in res.stdout
 
