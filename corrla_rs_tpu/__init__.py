@@ -50,6 +50,12 @@ from corrla_rs_tpu.ops.design import (
     sobol_sample,
 )
 from corrla_rs_tpu.ops.eig import eig, eig_host
+from corrla_rs_tpu.ops.hosvd import (
+    hooi,
+    hosvd,
+    mode_multiply,
+    tucker_reconstruct,
+)
 from corrla_rs_tpu.ops.eig_device import eig_device, eigvals_device, schur
 from corrla_rs_tpu.ops.morris import morris_screening, morris_trajectories
 from corrla_rs_tpu.ops.pce import PolynomialChaos
@@ -142,6 +148,10 @@ __all__ = [
     "deim_points",
     "deim_reconstruct",
     "PolynomialChaos",
+    "hosvd",
+    "hooi",
+    "tucker_reconstruct",
+    "mode_multiply",
     "dmdc_fit_ensemble",
     "rollout_ensemble",
     "gelman_rubin",
