@@ -31,6 +31,24 @@ from corrla_rs_tpu.utils.prng import as_key
 __all__ = ["hosvd", "hooi", "tucker_reconstruct", "mode_multiply"]
 
 
+def _check_ranks(ranks, tensor) -> tuple:
+    ranks = tuple(int(r) for r in ranks)
+    if len(ranks) != tensor.ndim:
+        raise ValueError(
+            f"ranks {ranks} must have one entry per tensor mode "
+            f"({tensor.ndim})"
+        )
+    for k, (r, d) in enumerate(zip(ranks, tensor.shape)):
+        if not 1 <= r <= d:
+            raise ValueError(
+                f"ranks[{k}]={r} must be in [1, {d}] (the mode-{k} "
+                "dimension); the core is promised to have exactly the "
+                "requested shape, so over-large ranks raise rather than "
+                "silently clamp"
+            )
+    return ranks
+
+
 def _unfold(t: jnp.ndarray, mode: int) -> jnp.ndarray:
     """Mode-k unfolding: (I_k, prod of the other dims)."""
     return jnp.moveaxis(t, mode, 0).reshape(t.shape[mode], -1)
@@ -65,12 +83,7 @@ def hosvd(tensor: jnp.ndarray, ranks: tuple, n_iter: int = 8,
     error is within sqrt(ndim) of the best rank-(r_0,...) approximation
     (the classic HOSVD quasi-optimality bound) — run ``hooi`` to tighten.
     """
-    ranks = tuple(int(r) for r in ranks)
-    if len(ranks) != tensor.ndim:
-        raise ValueError(
-            f"ranks {ranks} must have one entry per tensor mode "
-            f"({tensor.ndim})"
-        )
+    ranks = _check_ranks(ranks, tensor)
     keys = jax.random.split(as_key(key), tensor.ndim)
     factors = [
         _factor(_unfold(tensor, k), ranks[k], n_iter, n_oversamples,
@@ -93,7 +106,21 @@ def hooi(tensor: jnp.ndarray, ranks: tuple, n_sweeps: int = 3,
     OTHER modes projected (so each unfolding SVD runs on a small
     (I_k, prod r_j) matrix — cheaper AND more accurate than HOSVD's full
     unfoldings). Returns ``(core, factors)`` like ``hosvd``."""
-    ranks = tuple(int(r) for r in ranks)
+    ranks = _check_ranks(ranks, tensor)
+    # the ALS update SVDs an (I_k, prod of the OTHER ranks) matrix, so a
+    # mode rank above that product is structurally unreachable (any
+    # multilinear rank satisfies r_k <= prod_{j != k} r_j) — raise
+    # instead of silently returning a smaller factor than requested
+    import math as _math
+
+    for k, r in enumerate(ranks):
+        other = _math.prod(ranks[:k] + ranks[k + 1:])
+        if r > other:
+            raise ValueError(
+                f"ranks[{k}]={r} exceeds prod(other ranks)={other}; every "
+                "Tucker multilinear rank satisfies r_k <= prod of the "
+                "others — lower it or raise the other ranks"
+            )
     _core, factors = hosvd(tensor, ranks, n_iter=n_iter,
                            n_oversamples=n_oversamples, key=key)
     keys = jax.random.split(jax.random.fold_in(as_key(key), 1),

@@ -76,3 +76,15 @@ def test_core_energy_equals_captured_norm(rng):
 def test_rank_validation(rng):
     with pytest.raises(ValueError, match="ranks"):
         hosvd(jnp.asarray(rng.standard_normal((4, 5, 6))), (2, 2))
+
+
+def test_over_large_ranks_raise(rng):
+    x = jnp.asarray(rng.standard_normal((3, 18, 16)))
+    with pytest.raises(ValueError, match=r"ranks\[0\]"):
+        hosvd(x, (8, 2, 2))          # 8 > mode-0 dimension 3
+    x2 = jnp.asarray(rng.standard_normal((20, 18, 16)))
+    with pytest.raises(ValueError, match="prod"):
+        hooi(x2, (8, 2, 2))          # 8 > 2*2: unreachable Tucker rank
+    # hosvd allows it (its unfoldings are full-width), shape as promised
+    c, f = hosvd(x2, (8, 2, 2))
+    assert c.shape == (8, 2, 2)
