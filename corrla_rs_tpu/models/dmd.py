@@ -169,6 +169,12 @@ class DMDc:
                  dt: float | None = None, key=0, mesh=None,
                  config: DmdConfig | None = None, eig_backend: str = "host"):
         cfg = config or DmdConfig()
+        if eig_backend not in ("host", "device"):
+            # validate BEFORE the expensive reduce kernel runs: a typo like
+            # 'Device' must not waste a full fit before raising
+            raise ValueError(
+                f"eig_backend must be 'host' or 'device', got {eig_backend!r}"
+            )
         x = jnp.asarray(x_data)
         u = jnp.asarray(u_data)
         if mesh is not None:
@@ -224,10 +230,6 @@ class DMDc:
             both = np.asarray(jnp.stack([lam_re, lam_im]))
             self.lambdas = both[0] + 1j * both[1]
             return
-        if eig_backend != "host":
-            raise ValueError(
-                f"eig_backend must be 'host' or 'device', got {eig_backend!r}"
-            )
         lam, w = eig_host(self._A)
         # lambdas stay a host numpy array: TPU devices have no complex dtype
         self.lambdas = lam

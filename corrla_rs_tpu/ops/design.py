@@ -37,8 +37,15 @@ def _box(bounds):
 
 
 def _seed_from_key(key) -> int:
-    """Derive a scipy.qmc integer seed from a jax PRNG key."""
-    return int(np.asarray(jax.random.key_data(as_key(key)))[-1])
+    """Derive a scipy.qmc integer seed from a jax PRNG key.
+
+    Folds EVERY 32-bit word of the key data into the seed (distinct keys
+    sharing a word must not produce identical Sobol/Halton plans).
+    """
+    words = np.asarray(jax.random.key_data(as_key(key))).ravel()
+    return int.from_bytes(words.astype(np.uint32).tobytes(), "little") % (
+        2**63
+    )
 
 
 def latin_hypercube(bounds, n_samples: int, key=0, n_candidates: int = 1):

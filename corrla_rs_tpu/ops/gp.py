@@ -144,10 +144,11 @@ class GpRegressor:
 def _sgpr_factors(x, y, x_ind, log_params, kernel):
     """Titsias (2009) variational sparse GP factors.
 
-    Returns (l_mm, l_b, c) with
-      l_mm = chol(K_mm + jitter), A = l_mm^-1 K_mn / sigma,
-      l_b = chol(I + A A^T),      c = l_b^-1 A y / sigma,
-    everything O(n m^2) and matmul-shaped for the MXU.
+    Returns (l_mm, l_b, a, c) with
+      l_mm = chol(K_mm + jitter), a = l_mm^-1 K_mn / sigma,
+      l_b = chol(I + a a^T),      c = l_b^-1 a y / sigma,
+    everything O(n m^2) and matmul-shaped for the MXU. The ``a`` factor is
+    returned because the ELBO's trace term needs sum(a*a) (see _sgpr_nlml).
     """
     ls, sv, nv = jnp.exp(log_params)
     m = x_ind.shape[0]

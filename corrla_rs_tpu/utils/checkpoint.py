@@ -69,7 +69,14 @@ def _coerce(v):
 
 
 def save_model(path: str, model) -> None:
-    """Serialize a fitted model's attributes to an .npz file."""
+    """Serialize a fitted model's attributes to an .npz file.
+
+    Round-trip coercions (JSON fallback for nested primitive structures):
+    tuples come back as lists, and int-keyed dicts come back str-keyed.
+    Every current consumer unpacks both identically; a future attribute
+    whose semantics depend on tuple-ness or int keys needs its own
+    explicit encoding here.
+    """
     import jax.sharding
 
     arrays = {}
