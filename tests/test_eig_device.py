@@ -171,10 +171,14 @@ def test_dmdc_device_eig_backend_matches_host():
     np.testing.assert_allclose(pred_d / scale, pred_h / scale, atol=1e-8)
 
 
+@pytest.mark.tpu_tunnel
 def test_eig_device_on_product_backend_subprocess():
     # the whole point of eig_device: it runs jitted on the default backend
     # of a fresh process (the axon TPU lane, f32, no callbacks, no complex
-    # dtypes). Residual tolerance is f32 QR-grade.
+    # dtypes). Residual tolerance is f32 QR-grade. Excluded from the
+    # default suite (pyproject addopts): it holds the ONE tunneled chip,
+    # so a concurrent session starves it through its first compile — run
+    # explicitly with `pytest -m tpu_tunnel`.
     import subprocess
     import sys
 
@@ -195,25 +199,13 @@ def test_eig_device_on_product_backend_subprocess():
         "assert err < 1e-4, err\n"
         "print('EIG_DEVICE_OK')\n"
     )
-    # 900 s + one retry: there is ONE tunneled chip; a concurrent process
-    # (another test's subprocess, a parallel session) can starve this
-    # subprocess through its first compile. Passes in ~7 s warm-cache
-    # solo; a genuine regression fails both attempts.
-    res = None
-    for attempt in range(2):
-        try:
-            res = subprocess.run(
-                [sys.executable, "-c", script], capture_output=True,
-                text=True, timeout=900,
-            )
-        except subprocess.TimeoutExpired:
-            # starvation manifests as a timeout too — retry once
-            if attempt == 1:
-                raise
-            continue
-        if res.returncode == 0:
-            break
-    assert res is not None and res.returncode == 0, res.stderr[-2000:]
+    # no retries: this lane runs solo (explicit -m tpu_tunnel), so a
+    # timeout is a real hang, not tunnel contention. ~7 s warm-cache.
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True,
+        text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
     assert "EIG_DEVICE_OK" in res.stdout
 
 
