@@ -76,6 +76,13 @@ from corrla_rs_tpu.ops.random_svd import (
     single_pass_svd,
 )
 from corrla_rs_tpu.ops.samplers import DeMcSampler, constr_dirichlet_sample
+from corrla_rs_tpu.ops.streaming import (
+    RowBlockSource,
+    streamed_hosvd,
+    streamed_pca,
+    streamed_random_svd,
+    streamed_single_pass_svd,
+)
 from corrla_rs_tpu.ops.univariate_rv import (
     BetaRv,
     ExponentialRv,
@@ -154,6 +161,11 @@ __all__ = [
     "mode_multiply",
     "dmdc_fit_ensemble",
     "rollout_ensemble",
+    "RowBlockSource",
+    "streamed_random_svd",
+    "streamed_single_pass_svd",
+    "streamed_pca",
+    "streamed_hosvd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",

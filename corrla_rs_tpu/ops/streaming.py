@@ -1,0 +1,537 @@
+"""Out-of-core (host-streamed) randomized SVD / PCA / HOSVD.
+
+The CPU reference factorizes any matrix that fits host RAM
+(random_svd.rs:63-110 on faer host matrices); a single TPU chip has
+~16 GB of HBM. This module removes that limit: the matrix stays on the
+host (numpy array, ``np.memmap``, or any row-sliceable source — see
+``RowBlockSource`` for generator-backed virtual matrices), and fixed-size
+row blocks stream host->device where jitted kernels accumulate the small
+sketch/Gram factors. Device memory is O(n*k + m*k) (+ O(m^2) for the
+Gram path) — never O(n*m).
+
+Three algorithms, by passes over A (the streaming transfer is the
+bottleneck, so passes are the budget):
+
+- ``method='gram'`` (default): ONE data pass accumulates G = A^T A
+  (m, m) on device; all ``n_iter`` power iterations then run on G
+  on-device (W <- G W with CholeskyQR stabilization in m-space — exactly
+  A (A^T A)^q Omega, the classic iteration, algebraically); one pass for
+  Y = A W and one for B = Q^T A. 3 passes total, independent of n_iter.
+  Needs the (m, m) Gram to fit (m <~ 40k f32).
+- ``method='power'``: never forms G; each iteration applies
+  H = A^T (A W) blockwise in one pass and stabilizes via CholeskyQR of
+  W^T H (R^T R = (A W)^T (A W), so the QR never touches n-space).
+  n_iter + 2 passes; device memory O(m*k). For m too big for the Gram.
+- ``streamed_single_pass_svd``: the Tropp et al. two-sided sketch
+  (ops/random_svd.single_pass_svd) with both sketches accumulated in ONE
+  pass; the co-range test matrix Psi is regenerated per block from the
+  PRNG key (never materialized at (ell, n)). For data that cannot be
+  revisited at all; sketch-grade accuracy (good on decaying spectra).
+
+Numerics: all accumulations run at HIGHEST matmul precision in f32.
+The Gram/power paths square the condition number in the *stabilization
+algebra* only — B = Q^T A is re-accumulated from the raw data, so
+singular values keep f32-grade parity with the in-memory path for all
+sigma_i above ~sqrt(eps_f32) * sigma_max (tested: identical-sketch parity
+vs ``random_svd`` on control shapes).
+
+TPU-first notes: block shapes are static (the last block is zero-padded)
+so each kernel compiles once; ``jax.device_put`` is async, and the
+driver dispatches the next block's transfer before computing on the
+current one (double buffering), overlapping PCIe/tunnel transfer with
+MXU work.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = [
+    "RowBlockSource",
+    "streamed_random_svd",
+    "streamed_single_pass_svd",
+    "streamed_gram",
+    "streamed_pca",
+    "streamed_hosvd",
+]
+
+
+class RowBlockSource:
+    """Adapter giving a block-producing callable the row-sliceable
+    protocol the streaming drivers expect (``.shape``, ``.dtype``,
+    ``src[start:stop]``).
+
+    ``fn(start, stop)`` must return the rows ``[start, stop)`` as a host
+    array of shape ``(stop - start,) + shape[1:]``. Use for matrices that
+    are generated (simulation snapshots, database reads) rather than
+    stored — nothing is ever materialized at full size.
+    """
+
+    def __init__(self, fn, shape, dtype=np.float32):
+        self._fn = fn
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, slice) or idx.step not in (None, 1):
+            raise TypeError(
+                "RowBlockSource supports contiguous row slices only"
+            )
+        start, stop, _ = idx.indices(self.shape[0])
+        out = np.asarray(self._fn(start, stop), dtype=self.dtype)
+        expect = (stop - start,) + self.shape[1:]
+        if out.shape != expect:
+            raise ValueError(
+                f"block fn returned shape {out.shape}, expected {expect}"
+            )
+        return out
+
+
+def _source_meta(a):
+    shape = tuple(int(s) for s in a.shape)
+    dtype = jnp.dtype(getattr(a, "dtype", np.float32))
+    return shape, dtype
+
+
+def _default_block_rows(n: int, row_elems: int, dtype) -> int:
+    """~512 MB of source rows per block (>= 64 rows): big enough that the
+    per-block dispatch/transfer latency amortizes, small enough that two
+    in-flight blocks + accumulators leave HBM room."""
+    itemsize = jnp.dtype(dtype).itemsize
+    b = max(64, int(512e6 / max(row_elems * itemsize, 1)))
+    return min(n, b)
+
+
+def _iter_blocks(a, n, block_rows, pad_value=0.0):
+    """Yield (i, host_block) with every block zero-padded to
+    ``block_rows`` rows — one static shape, one compiled kernel."""
+    n_blocks = -(-n // block_rows)
+    for i in range(n_blocks):
+        start = i * block_rows
+        stop = min(start + block_rows, n)
+        blk = np.asarray(a[start:stop])
+        if stop - start < block_rows:
+            pad = np.full(
+                (block_rows - (stop - start),) + blk.shape[1:],
+                pad_value, dtype=blk.dtype,
+            )
+            blk = np.concatenate([blk, pad], axis=0)
+        yield i, blk
+
+
+def _stream_accumulate(a, n, block_rows, init, step):
+    """acc = step(acc, block_device, i) over all row blocks, with the next
+    block's host->device transfer dispatched before the current block's
+    compute (double buffering; device_put and jit dispatch are async)."""
+    acc = init
+    pending = None  # (i, device_block)
+    for i, host_blk in _iter_blocks(a, n, block_rows):
+        dev_blk = jax.device_put(host_blk)
+        if pending is not None:
+            acc = step(acc, pending[1], pending[0])
+        pending = (i, dev_blk)
+    if pending is not None:
+        acc = step(acc, pending[1], pending[0])
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# jitted per-block kernels (static block shape -> compiled once per run)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _acc_gram_and_sums(carry, blk):
+    g, csum = carry
+    g = g + jnp.matmul(blk.T, blk, precision=PRECISION)
+    return g, csum + jnp.sum(blk, axis=0)
+
+
+@jax.jit
+def _acc_h(h, blk, w):
+    """h += A_i^T (A_i w): one power-iteration pass contribution."""
+    y = jnp.matmul(blk, w, precision=PRECISION)
+    return h + jnp.matmul(blk.T, y, precision=PRECISION)
+
+
+@jax.jit
+def _blk_matmul(blk, w):
+    return jnp.matmul(blk, w, precision=PRECISION)
+
+
+@jax.jit
+def _acc_b(b, q_i, blk):
+    """b += Q_i^T A_i: the (k, m) small factor of B = Q^T A."""
+    return b + jnp.matmul(q_i.T, blk, precision=PRECISION)
+
+
+@jax.jit
+def _chol_qr_cols(w, h):
+    """Given H = A^T A W, orthonormalize the *columns of A W* without
+    touching n-space: R^T R = W^T H = (A W)^T (A W); return H R^{-1}
+    (= A^T A W stabilized, the next iterate) — CholeskyQR in m-space.
+    Column pre-normalization + small ridge exactly as ops/random_svd's
+    _cholesky_qr2 rationale."""
+    dtype = w.dtype
+    eps = 1e-7 if dtype == jnp.float32 else 1e-15
+    k = w.shape[1]
+    yty = jnp.matmul(w.T, h, precision=PRECISION)
+    # symmetrize (w^T h is Gram of A w up to rounding)
+    yty = 0.5 * (yty + yty.T)
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(yty), 1e-30))
+    ytyn = yty / (d[:, None] * d[None, :])
+    r = jnp.linalg.cholesky(
+        ytyn + eps * jnp.eye(k, dtype=dtype), upper=True
+    )
+    hn = h / d[None, :]
+    return lax.linalg.triangular_solve(
+        r, hn, left_side=False, lower=False
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _gram_power(g, omega, n_iter):
+    """W = orth-stabilized (G)^q Omega on device (G = A^T A resident)."""
+
+    def body(_i, w):
+        h = jnp.matmul(g, w, precision=PRECISION)
+        return _chol_qr_cols(w, h)
+
+    return lax.fori_loop(0, n_iter, body, omega)
+
+
+def streamed_gram(a, block_rows: int | None = None):
+    """G = A^T A (m, m) accumulated on device in one streamed pass, plus
+    the column-sum vector (for centering). Returns ``(g, col_sums, n)``.
+
+    The building block for out-of-core PCA/Pearson: the covariance of the
+    centered data is ``(g - outer(s, s)/n) / (n - 1)``.
+    """
+    (n, m), dtype = _source_meta(a)
+    if block_rows is None:
+        block_rows = _default_block_rows(n, m, dtype)
+    g0 = jnp.zeros((m, m), dtype)
+    s0 = jnp.zeros((m,), dtype)
+    g, s = _stream_accumulate(
+        a, n, block_rows, (g0, s0),
+        lambda acc, blk, _i: _acc_gram_and_sums(acc, blk),
+    )
+    return g, s, n
+
+
+def streamed_random_svd(
+    a,
+    rank: int,
+    n_iter: int,
+    n_oversamples: int = 10,
+    key=0,
+    block_rows: int | None = None,
+    method: str = "gram",
+    center: bool = False,
+):
+    """Out-of-core randomized SVD: A never resident on device.
+
+    a: host row-sliceable source (numpy array / ``np.memmap`` /
+    ``RowBlockSource``) of shape (n, m) with m small enough for (m, k)
+    [+ (m, m) for 'gram'] device factors. Returns ``(u, s, vt)`` like
+    ``ops.random_svd.random_svd`` — u is (n, rank) ON DEVICE (n*rank must
+    fit, e.g. 1M x 100 f32 = 400 MB).
+
+    method='gram' (default): 3 passes over A total. method='power':
+    n_iter + 2 passes, no (m, m) storage. center=True subtracts the
+    column means implicitly (exact, via the Gram/sum algebra) — the
+    out-of-core PCA path; supported for method='gram'.
+
+    Parity: same sketch-distribution semantics as the in-memory path;
+    sigma agreement tested on control shapes (tests/test_streaming.py).
+    Reference scale story: random_svd.rs:63-110 is bounded by host RAM;
+    this driver is bounded by host storage instead.
+    """
+    (n, m), dtype = _source_meta(a)
+    if n < m:
+        raise ValueError(
+            "streamed_random_svd streams ROW blocks and requires n >= m "
+            f"(got {n} x {m}); store the transpose (tall orientation) — "
+            "an out-of-core transpose would re-read the source m/block "
+            "times"
+        )
+    if center and method != "gram":
+        raise ValueError("center=True requires method='gram'")
+    if method not in ("gram", "power"):
+        raise ValueError(f"method must be 'gram' or 'power', got {method!r}")
+    if block_rows is None:
+        block_rows = _default_block_rows(n, m, dtype)
+    k = min(int(rank) + int(n_oversamples), m)
+    rank = min(int(rank), k)
+    key = as_key(key)
+    omega = jax.random.normal(key, (m, k), dtype=dtype)
+
+    if method == "gram":
+        g, csum, _ = streamed_gram(a, block_rows=block_rows)
+        if center:
+            mu = csum / n
+            g = g - n * jnp.outer(mu, mu)
+        w = _gram_power(g, omega, int(n_iter)) if n_iter > 0 else omega
+    else:
+        w = omega
+        for _ in range(int(n_iter)):
+            h = _stream_accumulate(
+                a, n, block_rows, jnp.zeros((m, k), dtype),
+                lambda h, blk, _i, w=w: _acc_h(h, blk, w),
+            )
+            w = _chol_qr_cols(w, h)
+
+    # pass: Y = (A - 1 mu^T) W, blockwise, device-resident (n_pad, k)
+    if center:
+        mu_w = jnp.matmul((csum / n)[None, :], w, precision=PRECISION)
+    else:
+        mu_w = jnp.zeros((1, k), dtype)
+    y_blocks = _stream_accumulate(
+        a, n, block_rows, [],
+        lambda ys, blk, _i: ys + [_blk_matmul(blk, w) - mu_w],
+    )
+    y = jnp.concatenate(y_blocks, axis=0)  # (n_pad, k); pad rows == -mu_w
+    # zero the pad rows (centering makes them nonzero; they must not
+    # influence the range)
+    n_pad = y.shape[0]
+    if n_pad != n:
+        row = jnp.arange(n_pad)
+        y = jnp.where((row < n)[:, None], y, 0.0)
+    q = jnp.linalg.qr(y, mode="reduced")[0]  # final QR: exact Householder
+
+    # pass: B = Q^T (A - 1 mu^T) = sum_i Q_i^T A_i - (Q^T 1) mu^T
+    def b_step(acc, blk, i):
+        q_i = lax.dynamic_slice_in_dim(q, i * block_rows, block_rows, 0)
+        return _acc_b(acc, q_i, blk)
+
+    b = _stream_accumulate(
+        a, n, block_rows, jnp.zeros((k, m), dtype), b_step
+    )
+    if center:
+        q1 = jnp.sum(q[:n], axis=0)  # pad rows of q are exactly zero
+        b = b - jnp.outer(q1, csum / n)
+
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, u_b, precision=PRECISION)[:n]
+    return u[:, :rank], s[:rank], vt[:rank, :]
+
+
+def streamed_single_pass_svd(
+    a,
+    rank: int,
+    n_oversamples: int = 10,
+    core_oversamples: int | None = None,
+    key=0,
+    block_rows: int | None = None,
+):
+    """One-pass out-of-core sketch SVD (Tropp et al. 2017 two-sided
+    sketch — the algorithm of ``ops.random_svd.single_pass_svd``, with
+    both sketches accumulated while A streams by ONCE).
+
+    The co-range test matrix Psi (ell, n) is never materialized: its
+    column block for rows [i*b, (i+1)*b) is regenerated from
+    ``fold_in(key, i)`` on device, both during the accumulation pass and
+    the later (device-only) B = Psi Q product. Use when the source truly
+    cannot be revisited; accuracy is sketch-grade (see single_pass_svd's
+    docstring for the measured regimes).
+    """
+    (n, m), dtype = _source_meta(a)
+    if n < m:
+        raise ValueError(
+            f"streamed_single_pass_svd requires tall input (n >= m), got "
+            f"{n} x {m}; store the transpose"
+        )
+    if block_rows is None:
+        block_rows = _default_block_rows(n, m, dtype)
+    k = min(int(rank) + int(n_oversamples), m)
+    rank = min(int(rank), k)
+    key = as_key(key)
+    k_om, k_psi = jax.random.split(key)
+    n_blocks = -(-n // block_rows)
+    n_pad = n_blocks * block_rows
+    omega = jax.random.normal(k_om, (m, k), dtype=dtype)
+    ell = min(2 * k + 1 if core_oversamples is None
+              else k + int(core_oversamples), n)
+
+    # Psi columns for each row block are regenerated from fold_in(key, i);
+    # pad rows beyond n multiply zero data so their Psi values are harmless
+    ys, w = _stream_accumulate(
+        a, n, block_rows, ([], jnp.zeros((ell, m), dtype)),
+        lambda carry, blk, i: (
+            carry[0] + [_blk_matmul(blk, omega)],
+            _acc_w(carry[1], blk, k_psi, i, block_rows, ell),
+        ),
+    )
+    y = jnp.concatenate(ys, axis=0)  # (n_pad, k); pad rows are zero
+    q = jnp.linalg.qr(y, mode="reduced")[0]
+
+    # B = Psi Q accumulated block-by-block on device (Psi regenerated)
+    b = jnp.zeros((ell, k), dtype)
+    for i in range(n_blocks):
+        q_i = lax.dynamic_slice_in_dim(q, i * block_rows, block_rows, 0)
+        b = _acc_psi_q(b, q_i, k_psi, i, block_rows, ell)
+
+    qb, rb = jnp.linalg.qr(b, mode="reduced")
+    x = lax.linalg.triangular_solve(
+        rb, jnp.matmul(qb.T, w, precision=PRECISION),
+        left_side=True, lower=False,
+    )
+    u_x, s, vt = jnp.linalg.svd(x, full_matrices=False)
+    u = jnp.matmul(q, u_x, precision=PRECISION)[:n]
+    return u[:, :rank], s[:rank], vt[:rank, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "ell"))
+def _acc_w(w, blk, k_psi, i, block_rows, ell):
+    psi_i = jax.random.normal(
+        jax.random.fold_in(k_psi, i), (ell, block_rows), dtype=blk.dtype
+    )
+    return w + jnp.matmul(psi_i, blk, precision=PRECISION)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "ell"))
+def _acc_psi_q(b, q_i, k_psi, i, block_rows, ell):
+    psi_i = jax.random.normal(
+        jax.random.fold_in(k_psi, i), (ell, block_rows), dtype=q_i.dtype
+    )
+    return b + jnp.matmul(psi_i, q_i, precision=PRECISION)
+
+
+def streamed_pca(a, n_comps: int, n_iter: int = 20,
+                 n_oversamples: int | None = None, key=0,
+                 block_rows: int | None = None):
+    """Out-of-core PCA: reference ``PcaRsvd`` semantics (pca_rsvd.rs:56-82
+    — column centering, RSVD with 20 power iters, min(n_dim, 10)
+    oversamples) on a host-resident sample matrix of any length.
+
+    Returns ``(singular_values (r, 1), components (r, m))`` matching
+    ``api.rpca``'s layout.
+    """
+    (_n, m), _ = _source_meta(a)
+    if n_oversamples is None:
+        n_oversamples = min(m, 10)
+    _u, s, vt = streamed_random_svd(
+        a, int(n_comps), n_iter, n_oversamples, key=key,
+        block_rows=block_rows, method="gram", center=True,
+    )
+    return s[:, None], vt
+
+
+def streamed_hosvd(tensor, ranks, block_slabs: int | None = None,
+                   compute_mode0_rows: bool = True):
+    """Out-of-core truncated HOSVD for a tensor streamed in slabs along
+    axis 0 (the long axis — e.g. space in a (space, time, param) snapshot
+    tensor bigger than HBM).
+
+    Every mode factor comes from the eigendecomposition of that mode's
+    Gram matrix, accumulated slab-by-slab on device:
+
+    - mode 0 (long axis): G_0^c = X_(0)^T X_(0) (N, N) with
+      N = prod(other dims); U_0 = X_(0) V_r S_r^{-1} in a second pass
+      (the tall-matrix left-vectors-from-right-Gram identity).
+    - modes k >= 1 (short axes): G_k = X_(k) X_(k)^T (I_k, I_k)
+      accumulated from each slab's mode-k unfolding.
+    - core: third pass, core += U_0[rows]^T (slab x_1 U_1^T x_2 ...).
+
+    3 passes total, device memory O(N^2 + I_0 r_0 + core). Requires
+    N = prod(shape[1:]) small enough for the (N, N) Gram — the regime
+    where axis 0 is the out-of-core axis. Returns ``(core, factors)``
+    like ``ops.hosvd.hosvd``.
+    """
+    from corrla_rs_tpu.ops.hosvd import mode_multiply
+
+    shape, dtype = _source_meta(tensor)
+    ndim = len(shape)
+    if ndim < 2:
+        raise ValueError("streamed_hosvd needs a tensor of ndim >= 2")
+    ranks = tuple(int(r) for r in ranks)
+    if len(ranks) != ndim:
+        raise ValueError(
+            f"ranks {ranks} must have one entry per tensor mode ({ndim})"
+        )
+    for kk, (r, d) in enumerate(zip(ranks, shape)):
+        if not 1 <= r <= d:
+            raise ValueError(
+                f"ranks[{kk}]={r} must be in [1, {d}]"
+            )
+    n0 = shape[0]
+    rest = shape[1:]
+    n_rest = int(np.prod(rest))
+    if block_slabs is None:
+        block_slabs = _default_block_rows(n0, n_rest, dtype)
+
+    # pass 1: all mode Grams at once
+    @jax.jit
+    def gram_step(carry, slab):
+        g0, gs = carry
+        flat = slab.reshape(slab.shape[0], -1)  # slab mode-0 unfolding
+        g0 = g0 + jnp.matmul(flat.T, flat, precision=PRECISION)
+        new_gs = []
+        for kk in range(1, ndim):
+            unf = jnp.moveaxis(slab, kk, 0).reshape(shape[kk], -1)
+            new_gs.append(
+                gs[kk - 1]
+                + jnp.matmul(unf, unf.T, precision=PRECISION)
+            )
+        return g0, new_gs
+
+    g0_init = jnp.zeros((n_rest, n_rest), dtype)
+    gs_init = [jnp.zeros((shape[kk], shape[kk]), dtype)
+               for kk in range(1, ndim)]
+    g0, gs = _stream_accumulate(
+        tensor, n0, block_slabs, (g0_init, gs_init),
+        lambda c, blk, _i: gram_step(c, blk),
+    )
+
+    # short-mode factors: leading eigenvectors of the small Grams
+    factors = [None] * ndim
+    for kk in range(1, ndim):
+        wv, vv = jnp.linalg.eigh(gs[kk - 1])
+        factors[kk] = vv[:, ::-1][:, : ranks[kk]]
+
+    # mode-0 factor from the co-Gram: V_r, S_r of X_(0)
+    w0, v0 = jnp.linalg.eigh(g0)
+    w0 = w0[::-1]
+    v0 = v0[:, ::-1]
+    s0 = jnp.sqrt(jnp.maximum(w0[: ranks[0]], 1e-30))
+    v0r = v0[:, : ranks[0]]
+
+    # passes 2+3 fused: U_0 rows and the core accumulate from the same
+    # slab stream. Factor arrays are explicit jit arguments (NOT closure
+    # captures, which would bake them into the executable as literals).
+    @jax.jit
+    def proj_kernel(core, slab, v0r, s0, short_factors):
+        proj = slab
+        for kk in range(1, ndim):
+            proj = mode_multiply(proj, short_factors[kk - 1].T, kk)
+        flat = slab.reshape(slab.shape[0], -1)
+        u_blk = jnp.matmul(flat, v0r, precision=PRECISION) / s0[None, :]
+        pf = proj.reshape(proj.shape[0], -1)
+        core = core + jnp.matmul(u_blk.T, pf, precision=PRECISION)
+        return core, u_blk
+
+    short_factors = tuple(factors[1:])
+
+    def proj_step(carry, slab, _i):
+        core, u_rows = carry
+        core, u_blk = proj_kernel(core, slab, v0r, s0, short_factors)
+        return core, u_rows + [u_blk]
+
+    core_flat0 = jnp.zeros((ranks[0], int(np.prod(ranks[1:]))), dtype)
+    core_flat, u_blocks = _stream_accumulate(
+        tensor, n0, block_slabs, (core_flat0, []), proj_step
+    )
+    core = core_flat.reshape(ranks)
+    if compute_mode0_rows:
+        u0 = jnp.concatenate(u_blocks, axis=0)[:n0]
+    else:
+        u0 = None
+    factors[0] = u0
+    return core, factors

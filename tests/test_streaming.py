@@ -1,0 +1,155 @@
+"""Out-of-core streaming drivers (ops/streaming) vs the in-memory paths.
+
+The streamed gram/power RSVD computes the algebraically identical
+iteration (A (A^T A)^q Omega with per-iteration stabilization) with the
+SAME sketch draw as the in-memory ``random_svd``, so f64 parity is tight.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrla_rs_tpu.ops.random_svd import random_svd, single_pass_svd
+from corrla_rs_tpu.ops.streaming import (
+    RowBlockSource,
+    streamed_gram,
+    streamed_hosvd,
+    streamed_pca,
+    streamed_random_svd,
+    streamed_single_pass_svd,
+)
+
+
+def _decaying_matrix(rng, n, m, power=2.0):
+    u, _ = np.linalg.qr(rng.standard_normal((n, m)))
+    v, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    s = (np.arange(1, m + 1, dtype=np.float64)) ** (-power)
+    return (u * s[None, :]) @ v.T
+
+
+@pytest.mark.parametrize("method", ["gram", "power"])
+@pytest.mark.parametrize("n,block", [(300, 300), (301, 64), (300, 128)])
+def test_streamed_rsvd_matches_in_memory(rng, method, n, block):
+    a = _decaying_matrix(rng, n, 24)
+    u0, s0, vt0 = random_svd(jnp.asarray(a), 8, 6, 8, key=3,
+                             stabilize="always")
+    u1, s1, vt1 = streamed_random_svd(
+        a, 8, 6, 8, key=3, block_rows=block, method=method
+    )
+    assert u1.shape == (n, 8) and s1.shape == (8,) and vt1.shape == (8, 24)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-8)
+    # subspaces match: projectors agree (columns may differ by sign)
+    p0 = np.asarray(u0) @ np.asarray(u0).T
+    p1 = np.asarray(u1) @ np.asarray(u1).T
+    np.testing.assert_allclose(p1, p0, atol=1e-7)
+    # reconstruction error matches the best rank-8 approximation (the
+    # sigma-tail residual is inherent to truncation, not the streaming)
+    rec = np.asarray(u1) * np.asarray(s1)[None, :] @ np.asarray(vt1)
+    uu, ss, vv = np.linalg.svd(a, full_matrices=False)
+    best = (uu[:, :8] * ss[None, :8]) @ vv[:8]
+    err = np.linalg.norm(rec - a)
+    err_best = np.linalg.norm(best - a)
+    assert err <= err_best * (1 + 1e-6)
+
+
+def test_streamed_rsvd_sigma_accuracy_vs_truth(rng):
+    a = _decaying_matrix(rng, 400, 30)
+    s_true = np.linalg.svd(a, compute_uv=False)[:6]
+    _u, s, _vt = streamed_random_svd(a, 6, 8, 10, key=0, block_rows=96)
+    np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-9)
+
+
+def test_row_block_source_matches_array(rng):
+    a = _decaying_matrix(rng, 200, 16)
+    src = RowBlockSource(lambda s, e: a[s:e], a.shape, a.dtype)
+    u0, s0, vt0 = streamed_random_svd(a, 5, 4, 6, key=1, block_rows=64)
+    u1, s1, vt1 = streamed_random_svd(src, 5, 4, 6, key=1, block_rows=64)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u0))
+
+
+def test_row_block_source_validates():
+    src = RowBlockSource(lambda s, e: np.zeros((e - s, 3)), (10, 4))
+    with pytest.raises(ValueError, match="expected"):
+        src[0:2]
+    with pytest.raises(TypeError, match="contiguous"):
+        src[::2]
+
+
+def test_streamed_gram(rng):
+    a = rng.standard_normal((130, 7))
+    g, csum, n = streamed_gram(a, block_rows=32)
+    np.testing.assert_allclose(np.asarray(g), a.T @ a, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(csum), a.sum(0), rtol=1e-12)
+    assert n == 130
+
+
+def test_streamed_pca_matches_rpca(rng):
+    from corrla_rs_tpu.api import rpca
+
+    a = rng.standard_normal((500, 12)) @ np.diag(
+        np.array([5.0, 4, 3, 2] + [0.1] * 8)
+    )
+    s0, comps0 = rpca(jnp.asarray(a), 4, 20, 10)
+    s1, comps1 = streamed_pca(a, 4, block_rows=128)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-7)
+    # components match up to per-row sign
+    c0, c1 = np.asarray(comps0), np.asarray(comps1)
+    sign = np.sign(np.sum(c0 * c1, axis=1, keepdims=True))
+    np.testing.assert_allclose(c1 * sign, c0, atol=1e-7)
+
+
+def test_streamed_single_pass_exact_on_low_rank(rng):
+    # exactly rank-4 data: any consistent sketch recovers it fp-exactly
+    a = rng.standard_normal((257, 20)) @ rng.standard_normal((20, 4)) @ \
+        rng.standard_normal((4, 18))
+    u, s, vt = streamed_single_pass_svd(a, 4, 6, key=2, block_rows=64)
+    s_true = np.linalg.svd(a, compute_uv=False)[:4]
+    np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-9)
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(vt)
+    assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-9
+    # in-memory single-pass agrees on the sigmas at sketch tolerance
+    _u2, s2, _vt2 = single_pass_svd(jnp.asarray(a), 4, 6, key=2)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-8)
+
+
+def test_streamed_hosvd_matches_in_memory(rng):
+    from corrla_rs_tpu.ops.hosvd import hosvd, tucker_reconstruct
+
+    # multilinear-rank (3, 2, 2) tensor + noise, long axis 0
+    g = rng.standard_normal((3, 2, 2))
+    u0 = np.linalg.qr(rng.standard_normal((120, 3)))[0]
+    u1 = np.linalg.qr(rng.standard_normal((6, 2)))[0]
+    u2 = np.linalg.qr(rng.standard_normal((5, 2)))[0]
+    t = np.einsum("abc,ia,jb,kc->ijk", g, u0, u1, u2)
+    t = t + 1e-10 * rng.standard_normal(t.shape)
+
+    core_m, fac_m = hosvd(jnp.asarray(t), (3, 2, 2))
+    core_s, fac_s = streamed_hosvd(t, (3, 2, 2), block_slabs=32)
+    assert core_s.shape == (3, 2, 2)
+    for f, dim, r in zip(fac_s, (120, 6, 5), (3, 2, 2)):
+        assert f.shape == (dim, r)
+        # orthonormal columns
+        np.testing.assert_allclose(
+            np.asarray(f).T @ np.asarray(f), np.eye(r), atol=1e-8
+        )
+    rec_m = np.asarray(tucker_reconstruct(core_m, fac_m))
+    rec_s = np.asarray(tucker_reconstruct(core_s, fac_s))
+    np.testing.assert_allclose(rec_s, rec_m, atol=1e-8)
+    np.testing.assert_allclose(rec_s, t, atol=1e-8)
+
+
+def test_streamed_errors(rng):
+    a = rng.standard_normal((10, 20))
+    with pytest.raises(ValueError, match="n >= m"):
+        streamed_random_svd(a, 2, 2, 2)
+    with pytest.raises(ValueError, match="tall"):
+        streamed_single_pass_svd(a, 2, 2)
+    b = rng.standard_normal((20, 5))
+    with pytest.raises(ValueError, match="center"):
+        streamed_random_svd(b, 2, 2, 2, method="power", center=True)
+    with pytest.raises(ValueError, match="method"):
+        streamed_random_svd(b, 2, 2, 2, method="banana")
+    with pytest.raises(ValueError, match="ranks"):
+        streamed_hosvd(rng.standard_normal((8, 3, 3)), (2, 2))
+    with pytest.raises(ValueError, match="must be in"):
+        streamed_hosvd(rng.standard_normal((8, 3, 3)), (2, 5, 2))
