@@ -60,6 +60,7 @@ from corrla_rs_tpu.ops.eig_device import eig_device, eigvals_device, schur
 from corrla_rs_tpu.ops.morris import morris_screening, morris_trajectories
 from corrla_rs_tpu.ops.pce import PolynomialChaos
 from corrla_rs_tpu.ops.sobol import saltelli_plan, sobol_indices
+from corrla_rs_tpu.ops.rvine import RVineCopula
 from corrla_rs_tpu.ops.vine import CVineCopula
 from corrla_rs_tpu.ops.diagnostics import (
     effective_sample_size,
@@ -143,6 +144,7 @@ __all__ = [
     "GaussianCopula",
     "BivariateCopula",
     "CVineCopula",
+    "RVineCopula",
     "eig",
     "eig_host",
     "eig_device",

@@ -117,10 +117,15 @@ class BivariateCopula:
         else:
             tau = float(_v.kendall_tau(u[:, 0], u[:, 1]))
             fam = self.family
-            if fam in ("clayton", "gumbel") and tau <= 0.0:
+            if not _v._family_admissible(fam, tau):
+                hint = (
+                    "a 90/270 rotation (e.g. 'clayton90'), 'frank', "
+                    "'gaussian' or 'auto'" if tau <= 0.0 else
+                    "the unrotated family or a 180 rotation, or 'auto'"
+                )
                 raise ValueError(
-                    f"{fam} copula cannot represent negative dependence "
-                    f"(tau={tau:.3f}); use 'frank', 'gaussian' or 'auto'"
+                    f"{fam} copula cannot represent dependence of this "
+                    f"sign (tau={tau:.3f}); use {hint}"
                 )
             theta = _v._theta_from_tau(fam, tau)
         self.fitted_family, self.theta, self.tau = fam, theta, tau

@@ -29,9 +29,22 @@ import numpy as np
 
 from corrla_rs_tpu.utils.prng import as_key
 
-__all__ = ["CVineCopula", "kendall_tau", "FAMILIES"]
+__all__ = ["CVineCopula", "kendall_tau", "FAMILIES", "BASE_FAMILIES"]
 
-FAMILIES = ("independent", "gaussian", "clayton", "gumbel", "frank")
+BASE_FAMILIES = ("independent", "gaussian", "clayton", "gumbel", "frank")
+
+# Full family set including the 90/180/270-degree rotations of the
+# asymmetric (single-tail) archimedean families. Rotations complete the
+# reference README's Clayton/Gumbel roadmap item (readme.md:49-53): the
+# base families only represent POSITIVE dependence with one active tail;
+# the 180-degree (survival) rotation moves the tail to the opposite
+# corner, and the 90/270 rotations represent NEGATIVE dependence
+# (previously such pairs silently fell back to gaussian/frank).
+FAMILIES = (
+    "independent", "gaussian", "frank",
+    "clayton", "clayton90", "clayton180", "clayton270",
+    "gumbel", "gumbel90", "gumbel180", "gumbel270",
+)
 
 _SQRT2 = math.sqrt(2.0)
 _EPS = 1e-6
@@ -249,31 +262,108 @@ _LOGPDF = {
 }
 
 
+def _install_rotations():
+    """Derive the 90/180/270-degree rotated kernels from the base ones.
+
+    With C_90(u,v) = v - C(1-u, v), C_180(u,v) = u + v - 1 + C(1-u, 1-v)
+    (the survival copula) and C_270(u,v) = u - C(u, 1-v):
+
+      h_90(u|v)  = 1 - h(1-u | v)        hinv_90(w|v)  = 1 - hinv(1-w | v)
+      h_180(u|v) = 1 - h(1-u | 1-v)      hinv_180(w|v) = 1 - hinv(1-w | 1-v)
+      h_270(u|v) = h(u | 1-v)            hinv_270(w|v) = hinv(w | 1-v)
+      c_rot(u,v) = c(arguments reflected the same way)
+
+    and tau_90 = tau_270 = -tau_base, tau_180 = tau_base.
+    """
+    for base in ("clayton", "gumbel"):
+        h0, hinv0, lp0 = _H[base], _HINV[base], _LOGPDF[base]
+
+        def h90(u, v, th, h0=h0):
+            return 1.0 - h0(1.0 - u, v, th)
+
+        def hinv90(w, v, th, hinv0=hinv0):
+            return 1.0 - hinv0(1.0 - w, v, th)
+
+        def lp90(u, v, th, lp0=lp0):
+            return lp0(1.0 - u, v, th)
+
+        def h180(u, v, th, h0=h0):
+            return 1.0 - h0(1.0 - u, 1.0 - v, th)
+
+        def hinv180(w, v, th, hinv0=hinv0):
+            return 1.0 - hinv0(1.0 - w, 1.0 - v, th)
+
+        def lp180(u, v, th, lp0=lp0):
+            return lp0(1.0 - u, 1.0 - v, th)
+
+        def h270(u, v, th, h0=h0):
+            return h0(u, 1.0 - v, th)
+
+        def hinv270(w, v, th, hinv0=hinv0):
+            return hinv0(w, 1.0 - v, th)
+
+        def lp270(u, v, th, lp0=lp0):
+            return lp0(u, 1.0 - v, th)
+
+        _H[base + "90"], _HINV[base + "90"] = h90, hinv90
+        _LOGPDF[base + "90"] = lp90
+        _H[base + "180"], _HINV[base + "180"] = h180, hinv180
+        _LOGPDF[base + "180"] = lp180
+        _H[base + "270"], _HINV[base + "270"] = h270, hinv270
+        _LOGPDF[base + "270"] = lp270
+
+
+_install_rotations()
+
+
+def _split_rotation(family: str):
+    """('clayton270') -> ('clayton', 270); base families -> (fam, 0)."""
+    for rot in (90, 180, 270):
+        s = str(rot)
+        if family.endswith(s) and family[: -len(s)] in _H:
+            return family[: -len(s)], rot
+    return family, 0
+
+
 def _theta_from_tau(family: str, tau: float):
+    base, rot = _split_rotation(family)
     t = float(tau)
-    if family == "gaussian":
+    if rot in (90, 270):
+        t = -t  # the rotation's tau is the negated base tau
+    if base == "gaussian":
         return math.sin(math.pi * t / 2.0)
-    if family == "clayton":
+    if base == "clayton":
         # clayton models positive dependence; clamp away from 0
         return max(2.0 * t / max(1.0 - t, 1e-6), 1e-4)
-    if family == "gumbel":
+    if base == "gumbel":
         return max(1.0 / max(1.0 - t, 1e-6), 1.0 + 1e-4)
-    if family == "frank":
+    if base == "frank":
         return float(_frank_theta_from_tau(jnp.asarray(t)))
     return 0.0
+
+
+def _family_admissible(family: str, tau: float) -> bool:
+    """Can ``family`` represent dependence of this sign at all?"""
+    base, rot = _split_rotation(family)
+    if base not in ("clayton", "gumbel"):
+        return True
+    if rot in (0, 180):
+        return tau > 0.0
+    return tau < 0.0
 
 
 def _fit_pair(u, v, families=FAMILIES):
     """Fit each family by tau inversion; select by AIC (the one-parameter
     families pay a 1-nat penalty so spurious near-zero dependence doesn't
-    beat the independence copula)."""
+    beat the independence copula). Rotated clayton/gumbel compete for
+    their admissible tau sign (90/270: negative; base/180: positive)."""
     tau = float(kendall_tau(u, v))
     best = ("independent", 0.0, 0.0)
     for fam in families:
         if fam == "independent":
             continue  # the baseline, score 0
-        if fam in ("clayton", "gumbel") and tau <= 0.0:
-            continue  # these families cannot represent negative dependence
+        if not _family_admissible(fam, tau):
+            continue
         th = _theta_from_tau(fam, tau)
         ll = float(jnp.sum(_LOGPDF[fam](u, v, th))) - 1.0
         if ll > best[1]:

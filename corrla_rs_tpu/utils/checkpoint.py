@@ -48,12 +48,13 @@ def _builtin_registry():
         KdeRv,
         NormalRv,
     )
+    from corrla_rs_tpu.ops.rvine import RVineCopula
     from corrla_rs_tpu.ops.vine import CVineCopula
 
     for cls in (PcaRsvd, PodI, DMDc, RbfInterp, FittedActiveSsRsvd,
                 NormalRv, BetaRv, ExponentialRv, KdeRv,
                 GpRegressor, SparseGpRegressor, GaussianCopula,
-                BivariateCopula, CVineCopula):
+                BivariateCopula, CVineCopula, RVineCopula):
         _REGISTRY.setdefault(cls.__name__, cls)
 
 
