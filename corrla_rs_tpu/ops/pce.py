@@ -79,6 +79,64 @@ def _hermite_table(z: jnp.ndarray, order: int) -> jnp.ndarray:
     return jnp.stack(polys[: order + 1], axis=-1) * scale
 
 
+def _omp_loo(psi: np.ndarray, y: np.ndarray, max_terms: int):
+    """Greedy forward selection (orthogonal matching pursuit) with exact
+    corrected leave-one-out model selection.
+
+    Returns ``(sel, loo, coeffs)``: the best support (column indices of
+    ``psi``, constant column 0 always first), its relative corrected LOO
+    error, and its OLS coefficients. Host numpy f64: the factorizations
+    are (n, k) with k <= max_terms, trivial; exactness of the LOO (from
+    the hat diagonal, no refits) is what matters.
+    """
+    n, p = psi.shape
+    norms = np.linalg.norm(psi, axis=0)
+    norms[norms == 0] = 1.0
+    psi_n = psi / norms
+    y_var = max(float(np.var(y)), 1e-300)
+
+    active = [0]  # constant term always in
+    best = None
+    stall = 0
+    for _step in range(min(max_terms, p, max(n - 2, 1))):
+        a = psi[:, active]
+        q, rr = np.linalg.qr(a)
+        coef_a = np.linalg.solve(
+            rr, q.T @ y
+        ) if rr.shape[0] else np.zeros(0)
+        y_hat = a @ coef_a
+        h = np.minimum(np.sum(q * q, axis=1), 1.0 - 1e-12)
+        k = len(active)
+        loo = float(np.mean(((y - y_hat) / (1.0 - h)) ** 2)) / y_var
+        if n > k:
+            # Blatman-Sudret corrected LOO: (n/(n-k)) (1 + tr(C^-1)) with
+            # C = Psi_A^T Psi_A (orthonormal basis columns have norm^2
+            # ~ n, so tr(C^-1) ~ k/n) — penalizes collinear / overgrown
+            # supports that plain hat-LOO under-counts because the
+            # support itself was chosen on the same data
+            rinv = np.linalg.inv(rr)
+            tr_cinv = float(np.sum(rinv * rinv))
+            loo *= n / (n - k) * (1.0 + tr_cinv)
+        if best is None or loo < best[0] * (1.0 - 1e-9):
+            best = (loo, list(active), coef_a)
+            stall = 0
+        else:
+            stall += 1
+            if stall >= 10:
+                break  # 10 consecutive non-improving terms: overfitting
+        r = y - y_hat
+        # next term: max |correlation| with the residual
+        corr = np.abs(psi_n.T @ r)
+        corr[active] = -np.inf
+        j = int(np.argmax(corr))
+        if not np.isfinite(corr[j]) or corr[j] <= 0:
+            break
+        active.append(j)
+
+    loo, sel, coeffs = best
+    return sel, loo, coeffs
+
+
 class PolynomialChaos:
     """PCE surrogate with analytic moments and Sobol' indices.
 
@@ -158,6 +216,97 @@ class PolynomialChaos:
             jnp.asarray(jnp.finfo(ftype).tiny, ftype),
         )
         self.r2 = float(1.0 - ss_res / ss_tot)
+        return self
+
+    def fit_sparse(self, x, y, max_order: int | None = None,
+                   max_terms: int | None = None,
+                   max_candidates: int = 20000):
+        """Sparse adaptive PCE (Blatman & Sudret 2011 style).
+
+        Total-degree bases explode combinatorially (C(d + q, q) terms —
+        d=20, q=3 is already 1771), so the dense ``fit`` needs n >~ P
+        samples. This method selects a SPARSE basis instead:
+
+        - degree-adaptive outer loop: candidate bases of growing total
+          degree q = 1, 2, ... (up to ``max_order``, default: grow while
+          the error improves);
+        - greedy forward selection on each candidate set (orthogonal
+          matching pursuit — the same greedy-path idea as the hybrid
+          LAR of Blatman & Sudret; terms enter by correlation with the
+          residual, each step refit by OLS on the active set);
+        - model selection by corrected leave-one-out error, computed
+          exactly from the OLS hat matrix (no refits): the classic
+          eps_LOO = mean(((y - y_hat) / (1 - h))^2) / var(y) with the
+          (n / (n - k)) small-sample correction.
+
+        Keeps the best support found across all degrees; the constant
+        term is always included (so ``mean``/``var``/``sobol_indices``
+        read off the coefficients unchanged). Typical outcome: a 20-d
+        quadratic with a handful of interactions is recovered from
+        n ~ tens of samples where the dense basis would need n >= 231.
+
+        Selection runs in f64 on host (tiny (n, k) factorizations);
+        ``predict`` stays a single on-device matmul over the sparse
+        basis. Returns self; sets ``loo_error`` (relative corrected LOO
+        of the selected model) and ``r2``.
+        """
+        x = jnp.asarray(x)
+        y_dev = jnp.asarray(y).reshape(-1)
+        d = x.shape[1]
+        n = x.shape[0]
+        yh = np.asarray(y_dev, np.float64)
+        y_var = float(np.var(yh))
+        if y_var <= 0:
+            raise ValueError("response has zero variance")
+        if max_terms is None:
+            max_terms = max(2, min(n - 2, n * 2 // 3))
+        if self.dist == "gaussian":
+            if self._mean is None:
+                self._mean = np.asarray(jnp.mean(x, axis=0), np.float64)
+            if self._std is None:
+                self._std = np.asarray(jnp.std(x, axis=0), np.float64)
+
+        best = None  # (loo, order, alpha_sel, coeffs)
+        q = 1
+        while True:
+            alpha_full = total_degree_multi_indices(d, q)
+            if alpha_full.shape[0] > max_candidates:
+                if best is None:
+                    raise ValueError(
+                        f"even the degree-1 candidate basis exceeds "
+                        f"max_candidates={max_candidates} (d={d}); raise "
+                        "max_candidates"
+                    )
+                break
+            self.order = q
+            self._alpha = alpha_full
+            psi = np.asarray(self._basis(x), np.float64)  # (n, P)
+            sel, loo, coeffs = _omp_loo(psi, yh, max_terms)
+            # the degree loop demands a REAL improvement (1%) to continue:
+            # richer dictionaries always shave a little post-selection LOO
+            # by fitting noise, and that bias must not drive q upward
+            if best is None or loo < best[0] * 0.99:
+                best = (loo, q, alpha_full[sel], coeffs)
+                improved = True
+            else:
+                improved = False
+            if max_order is not None:
+                if q >= max_order:
+                    break
+            elif not improved or best[0] < 1e-12:
+                break
+            q += 1
+
+        loo, q_best, alpha_sel, coeffs = best
+        self.order = int(alpha_sel.max()) if alpha_sel.size else 0
+        # keep per-dim max degree for the basis table; order bounds it
+        self.order = max(self.order, 1)
+        self._alpha = np.asarray(alpha_sel, np.int32)
+        self.coeffs = jnp.asarray(coeffs)
+        self.loo_error = float(loo)
+        y_hat = np.asarray(self.predict(x), np.float64)
+        ss_res = float(np.sum((yh - y_hat) ** 2))
+        self.r2 = 1.0 - ss_res / (n * y_var)
         return self
 
     def predict(self, xq) -> jnp.ndarray:
