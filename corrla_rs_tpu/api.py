@@ -20,6 +20,9 @@ def rsvd(a_mat, n_rank: int, n_iters: int, n_oversamples: int, seed=0):
 
     Returns (U (m, r), S (r, 1), Vt (r, n)).
     """
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+    (a_mat,) = maybe_route_small(a_mat)
     a = jnp.asarray(a_mat)
     u, s, vt = random_svd(a, n_rank, n_iters, n_oversamples, key=as_key(seed))
     return u, s[:, None], vt
@@ -37,7 +40,10 @@ def rpca(a_mat, n_rank: int, n_iters: int = None, n_oversamples: int = None,
     """
     from corrla_rs_tpu.models.pca import PcaRsvd
 
-    pca = PcaRsvd(jnp.asarray(a_mat), n_rank, key=as_key(seed))
+    # raw input straight through: PcaRsvd.fit routes small problems to
+    # the CPU backend BEFORE any device placement (an eager jnp.asarray
+    # here would transfer to the accelerator just to come back)
+    pca = PcaRsvd(a_mat, n_rank, key=as_key(seed))
     return pca.singular_values[:, None], pca.components
 
 
@@ -55,7 +61,11 @@ def active_ss(x, y, order: int, n_nbr: int, n_comps: int):
         ActiveSsRsvd,
         PolyGradientEstimator,
     )
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
 
+    # the kNN distance matrix is the dominant shape
+    n = jnp.shape(x)[0] if hasattr(x, "shape") else len(x)
+    x, y = maybe_route_small(x, y, work_elems=n * n)
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     grad_est = PolyGradientEstimator(x, y, order, n_nbr)
@@ -88,7 +98,7 @@ def cs_mcmc_dirichlet_sample(bounds, n_samples: int, n_seed_samples: int,
     DEMC -> (interleaved samples, acceptance ratio). Seeds form the chains
     (one chain per seed), so n_seed_samples >= 3.
     """
-    import jax
+    import numpy as np
 
     from corrla_rs_tpu.ops.samplers import (
         DeMcSampler,
@@ -97,9 +107,13 @@ def cs_mcmc_dirichlet_sample(bounds, n_samples: int, n_seed_samples: int,
         ln_like_sum,
         ln_prior_uniform,
     )
+    from corrla_rs_tpu.utils.prng import split_key
 
-    k_seed, k_mcmc = jax.random.split(as_key(seed))
-    bounds = jnp.asarray(bounds, dtype=jnp.result_type(float))
+    k_seed, k_mcmc = split_key(seed)
+    # host numpy: the array is only consumed as trace-time constants and
+    # by the (internally routed) samplers — a jnp constant here would
+    # cost an accelerator dispatch per call
+    bounds = np.asarray(bounds, dtype=np.float64)
     seeds = constr_dirichlet_sample(
         bounds, n_seed_samples, max_zshots, chunk_size, c_scale, alphas,
         key=k_seed,
@@ -107,7 +121,7 @@ def cs_mcmc_dirichlet_sample(bounds, n_samples: int, n_seed_samples: int,
     # target is uniform-in-z Dirichlet(1,...,1) (lib_math_utils_py.rs:129)
     ndim = bounds.shape[0]
     ln_post = ln_like_sum(
-        ln_like_dirichlet(jnp.ones(ndim)), ln_prior_uniform(bounds)
+        ln_like_dirichlet(np.ones(ndim)), ln_prior_uniform(bounds)
     )
 
     def fixup(x):

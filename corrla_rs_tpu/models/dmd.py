@@ -175,6 +175,14 @@ class DMDc:
             raise ValueError(
                 f"eig_backend must be 'host' or 'device', got {eig_backend!r}"
             )
+        if mesh is None:
+            # Small fits route to the in-process CPU backend: below the
+            # dispatch-bound crossover this is faster AND avoids the
+            # XLA:TPU tiny-contraction-dim precision downgrade that cost
+            # the 20 x 39 reference fixture ~4 digits (utils/smallpath).
+            from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+            x_data, u_data = maybe_route_small(x_data, u_data)
         x = jnp.asarray(x_data)
         u = jnp.asarray(u_data)
         if mesh is not None:

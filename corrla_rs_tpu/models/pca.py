@@ -63,6 +63,10 @@ class PcaRsvd:
 
     def fit(self, x_mat, rank: int, key=0):
         """(Re)fit, parity with pca_rsvd.rs:85-88."""
+        if self._mesh is None:
+            from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+            (x_mat,) = maybe_route_small(x_mat)
         x = jnp.asarray(x_mat)
         self.pca_rank = int(rank)
         self.n_samples = x.shape[0]

@@ -69,6 +69,10 @@ class PodI:
 
     def fit(self, x_data, t, n_modes: int, key=0):
         """(Re)fit, parity with pod_rom.rs:98-101."""
+        if self._mesh is None:
+            from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+            x_data, t = maybe_route_small(x_data, t)
         x = jnp.asarray(x_data)
         t = jnp.asarray(t)
         assert t.shape[0] == x.shape[0], "t rows must match snapshot rows"

@@ -160,6 +160,13 @@ def make_dream_state(init_heads, ln_prob_fn: Callable, n_cr: int = _CFG.n_cr,
                      key=0) -> DreamState:
     """Fresh DREAM state: uniform CR probabilities, zeroed adaptation
     statistics, generation counter at 0."""
+    import numpy as _np
+
+    from corrla_rs_tpu.utils.smallpath import route_sampler_small
+
+    (init_heads,) = route_sampler_small(
+        init_heads, n_chains=int(_np.shape(init_heads)[0])
+    )
     heads = jnp.asarray(init_heads)
     # eager vmap (one batched dispatch) — wrapping in a fresh jax.jit here
     # would create a new cache entry per call and silently recompile the

@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from corrla_rs_tpu.ops.mat_utils import PRECISION, pinv
@@ -127,6 +128,12 @@ class RbfInterp:
         self.coeffs = None
 
     def fit(self, x_in, y_in):
+        from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+        # the saddle solve is O(n^2)-shaped: route by the kernel-matrix
+        # size, not the input size
+        n = np.shape(x_in)[0]
+        x_in, y_in = maybe_route_small(x_in, y_in, work_elems=n * n)
         x = jnp.asarray(x_in)
         y = jnp.asarray(y_in)
         if y.ndim == 1:

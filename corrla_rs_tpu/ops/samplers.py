@@ -26,6 +26,7 @@ import functools
 from typing import Callable, NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import gammaln
@@ -149,6 +150,14 @@ def constr_dirichlet_sample(bounds, n_samples: int,
             seed=seed_int,
         ))
 
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+    # per-shot work is chunk_size x ndim draws; below the dispatch-bound
+    # crossover the whole while_loop runs faster on the CPU backend
+    ndim_b = _np.shape(bounds)[0]
+    (bounds,) = maybe_route_small(
+        bounds, work_elems=int(chunk_size) * int(ndim_b)
+    )
     bounds = jnp.asarray(bounds, dtype=jnp.result_type(float))
     alphas = _broadcast_alphas(alphas, bounds.shape[0])
     # detect the uniform-simplex case at the host level (alphas are
@@ -177,7 +186,11 @@ def ln_prior_uniform(bounds) -> Callable:
     Parity with LnPriorUniform (space_samplers.rs:175-199, strict
     inequalities).
     """
-    bounds = jnp.asarray(bounds, dtype=jnp.result_type(float))
+    # host numpy constant: embeds at trace time with NO runtime device op
+    # (a jnp constant here costs one accelerator dispatch per closure
+    # construction — ~31 ms through the tunnel, pure overhead for the
+    # CPU-routed small-sampler path)
+    bounds = np.asarray(bounds, dtype=np.float64)
 
     def lnp(x):
         ok = jnp.all((bounds[:, 0] < x) & (x < bounds[:, 1]))
@@ -190,8 +203,11 @@ def ln_like_dirichlet(alphas) -> Callable:
     """Dirichlet log-pdf. Parity with LnLikeDirichlet
     (space_samplers.rs:202-229), computed in log space (the reference goes
     through gamma() products, equivalent up to fp rounding)."""
-    a = jnp.atleast_1d(jnp.asarray(alphas, dtype=jnp.result_type(float)))
-    ln_beta = jnp.sum(gammaln(a)) - gammaln(jnp.sum(a))
+    import scipy.special as _sps
+
+    # host numpy constants (see ln_prior_uniform's rationale)
+    a = np.atleast_1d(np.asarray(alphas, dtype=np.float64))
+    ln_beta = float(np.sum(_sps.gammaln(a)) - _sps.gammaln(np.sum(a)))
 
     def lnp(x):
         return jnp.sum((a - 1.0) * jnp.log(x)) - ln_beta
@@ -458,6 +474,13 @@ class DeMcSampler:
                  var_epsilon: float = _DEMC_CFG.var_epsilon,
                  prop_fixup_fn: Callable | None = None,
                  key=0, config: DemcConfig | None = None):
+        from corrla_rs_tpu.utils.smallpath import route_sampler_small
+
+        n_ch = np.shape(init_chains)[0]
+        # small populations are dispatch-bound on the accelerator
+        # (~300 us/generation fixed cost, BASELINE.md); run the whole
+        # scan on the in-process CPU backend instead
+        (init_chains,) = route_sampler_small(init_chains, n_chains=n_ch)
         heads = jnp.asarray(init_chains)
         assert heads.ndim == 2 and heads.shape[0] >= 3, "need >= 3 chains"
         self.n_chains, self.ndim = heads.shape

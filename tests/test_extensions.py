@@ -119,7 +119,7 @@ def test_bivariate_copula_validation(rng):
         BivariateCopula("nope")
     z = rng.standard_normal((500, 2))
     x = np.stack([z[:, 0], -z[:, 0] + 0.2 * z[:, 1]], axis=1)  # negative dep
-    with pytest.raises(ValueError, match="negative dependence"):
+    with pytest.raises(ValueError, match="dependence of this sign"):
         BivariateCopula("clayton").fit(jnp.asarray(x))
     with pytest.raises(ValueError, match="samples"):
         BivariateCopula().fit(jnp.asarray(z[:, :1]))

@@ -18,10 +18,12 @@ PARAMS = {"gaussian": 0.6, "clayton": 2.0, "gumbel": 2.0, "frank": 4.0,
 
 
 def test_hinv_roundtrip_all_families(rng):
+    from corrla_rs_tpu.ops.vine import _split_rotation
+
     u = jnp.asarray(rng.uniform(0.02, 0.98, 400))
     v = jnp.asarray(rng.uniform(0.02, 0.98, 400))
-    for fam in FAMILIES:
-        th = PARAMS[fam]
+    for fam in FAMILIES:   # includes the 90/180/270 rotations
+        th = PARAMS[_split_rotation(fam)[0]]
         w = _H[fam](u, v, th)
         u2 = _HINV[fam](w, v, th)
         assert float(jnp.max(jnp.abs(u2 - u))) < 1e-9, fam
@@ -67,7 +69,7 @@ def test_vine_recovers_clayton_pair(rng):
     assert fam == "clayton"
     assert abs(th - th_true) < 0.5
     s = np.asarray(vc.sample(4000, key=3))
-    tau_s = float(kendall_tau(s[:, 0], s[:, 1]))
+    tau_s = float(kendall_tau(s[:2000, 0], s[:2000, 1]))
     assert abs(tau_s - 0.5) < 0.07
 
 
