@@ -1,17 +1,20 @@
-"""Headline benchmark: rank-100 randomized SVD of a 100k x 10k f32 matrix.
+"""Driver benchmark: one JSON line per north-star metric, headline last.
 
-North-star config from BASELINE.json: the Gaussian-sketch power iteration
-that PCA/POD/DMD all compose, on one TPU chip (multi-chip scales via
-corrla_rs_tpu.parallel.sharded_rsvd).
+The driver parses the final line — that stays the rank-100 randomized
+SVD of a 100k x 10k f32 matrix (BASELINE.json north-star #1). The lines
+before it surface the other first-class metrics so a regression in any
+of them is visible in BENCH_r{N}.json (VERDICT r2 item 4):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <wall seconds>, "unit": "s", "vs_baseline": N}
-
-vs_baseline: speedup over the reference-algorithm numpy implementation
-(examples/benchmark_rsvd.py:16-53 semantics) measured on this machine's
-CPU (single core, f32, same config) — recorded in BASELINE.md. The Rust
-reference itself cannot run here (no cargo in the image); its own Python
-benchmark harness treats the numpy path as the comparable baseline.
+- dream_samples_per_sec (north-star #2: >= 1e6; vs_baseline = ratio
+  to that 1e6 target)
+- ensemble_dmdc_16x_wall (vs_baseline = ratio to the ~2.4 s cost of 16
+  sequential host-eig fits measured in round 2)
+- single_pass_svd_100kx10k_wall (the 2-HBM-pass streaming-regime SVD;
+  vs_baseline = speedup over the recorded CPU-numpy RSVD)
+- rsvd_100kx10k_f32_rank100_wall (HEADLINE, last; vs_baseline = speedup
+  over the recorded CPU-numpy implementation of the reference
+  algorithm, examples/benchmark_rsvd.py semantics — the Rust reference
+  itself cannot run here; its own harness treats numpy as comparable)
 """
 from __future__ import annotations
 
@@ -26,12 +29,9 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from corrla_rs_tpu.ops.random_svd import random_svd
-
-# Measured once on this machine (1-core CPU, numpy f32, same config/algorithm)
-# — see BASELINE.md "measured baselines".
-CPU_NUMPY_BASELINE_S = None  # filled from BASELINE.md if present
+from corrla_rs_tpu.ops.random_svd import random_svd, single_pass_svd
 
 N_ROWS, N_COLS, RANK, N_ITER, N_OVERSAMPLES = 100_000, 10_000, 100, 8, 10
 
@@ -47,53 +47,111 @@ def _read_recorded_baseline() -> float | None:
     return None
 
 
-def main():
-    key = jax.random.key(0)
-    k_data, k_rsvd = jax.random.split(key)
-    a = jax.random.normal(k_data, (N_ROWS, N_COLS), dtype=jnp.float32)
-    a.block_until_ready()
+def _emit(metric: str, value: float, unit: str, vs) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 6),
+        "unit": unit,
+        "vs_baseline": round(vs, 2) if vs else None,
+    }), flush=True)
 
+
+def _min_wall(fn, sync, reps=5):
+    sync(fn())  # warm (compile)
+    sync(fn())
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn())
+        times.append(time.perf_counter() - t0)
+    # min over reps: walls on this tunneled runtime carry +-30% jitter
+    # with occasional large outliers; min is the honest steady-state
+    return min(times)
+
+
+def bench_dream() -> None:
+    from corrla_rs_tpu.ops.dream import dream_run
+    from corrla_rs_tpu.utils.smallpath import set_small_path_threshold
+
+    set_small_path_threshold(0)  # benchmark the accelerator path
+    n_chains, ndim, n_steps = 8192, 3, 500
+
+    def lnp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    heads0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n_chains, ndim)),
+        jnp.float32,
+    )
+
+    def run():
+        hist, state, ar = dream_run(heads0, lnp, n_steps, key=1)
+        return hist
+
+    wall = _min_wall(run, lambda h: np.asarray(h[-1, 0]), reps=3)
+    rate = n_chains * n_steps / wall
+    set_small_path_threshold(1 << 20)
+    _emit("dream_samples_per_sec_8192ch", rate, "samples/s", rate / 1e6)
+
+
+def bench_ensemble_dmdc() -> None:
+    from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble
+
+    n_mem, nx, nt = 16, 20, 40
+    t = jnp.linspace(0.0, 1.0, nt, dtype=jnp.float32)
+    uc = jnp.exp(t)[None, :]
+    snap = jnp.sin(
+        jnp.linspace(0, 3, nx, dtype=jnp.float32)[:, None] + t[None, :]
+    ) * uc
+    ens = jnp.broadcast_to(snap, (n_mem, nx, nt)) * (
+        1.0 + 1e-3 * jnp.arange(n_mem, dtype=jnp.float32)[:, None, None]
+    )
+    u_b = jnp.broadcast_to(uc, (n_mem,) + uc.shape)
+
+    def run():
+        return dmdc_fit_ensemble(ens, u_b, n_modes=6, n_iters=20, key=2)
+
+    wall = _min_wall(run, lambda f: np.asarray(f["lambdas_re"][0, 0]))
+    _emit("ensemble_dmdc_16x_wall", wall, "s", 2.4 / wall)
+
+
+def bench_single_pass(a, baseline) -> None:
+    def run():
+        u, s, vt = single_pass_svd(a, RANK, N_OVERSAMPLES, key=4)
+        return s[-1] + u[0, 0] + vt[0, 0]
+
+    wall = _min_wall(run, lambda c: float(c))
+    _emit("single_pass_svd_100kx10k_wall", wall, "s",
+          (baseline / wall) if baseline else None)
+
+
+def bench_headline_rsvd(a, baseline) -> None:
     @jax.jit
     def run(a):
         u, s, vt = random_svd(
-            a, RANK, N_ITER, N_OVERSAMPLES, key=k_rsvd, stabilize="always",
-            qr_method="cholesky", power_precision=jax.lax.Precision.HIGH,
+            a, RANK, N_ITER, N_OVERSAMPLES, key=jax.random.key(7),
+            stabilize="always", qr_method="cholesky",
+            power_precision=jax.lax.Precision.HIGH,
         )
-        # On this TPU runtime block_until_ready returns early; real
-        # synchronization is ONE host fetch of a scalar that transitively
-        # depends on every output (fused into the same executable so the
-        # tunnel round-trip is paid exactly once).
-        chk = s[-1] + u[0, 0] + vt[0, 0]
-        return u, s, vt, chk
+        # ONE host fetch of a scalar depending on every output (fused
+        # into the executable so the tunnel round-trip is paid once)
+        return u, s, vt, s[-1] + u[0, 0] + vt[0, 0]
 
-    def sync(out):
-        return float(out[3])
+    wall = _min_wall(lambda: run(a), lambda out: float(out[3]))
+    _emit("rsvd_100kx10k_f32_rank100_wall", wall, "s",
+          (baseline / wall) if baseline else None)
 
-    # compile + warmup
-    sync(run(a))
-    sync(run(a))
 
-    # min over 5 reps: wall times on this tunneled runtime carry ±30%
-    # jitter with occasional large outliers; min is the honest steady-state
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        sync(run(a))
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
-
-    baseline = CPU_NUMPY_BASELINE_S or _read_recorded_baseline()
-    vs = (baseline / wall) if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": "rsvd_100kx10k_f32_rank100_wall",
-                "value": round(wall, 4),
-                "unit": "s",
-                "vs_baseline": round(vs, 2) if vs else None,
-            }
-        )
+def main():
+    baseline = _read_recorded_baseline()
+    bench_dream()
+    bench_ensemble_dmdc()
+    a = jax.random.normal(
+        jax.random.key(0), (N_ROWS, N_COLS), dtype=jnp.float32
     )
+    a.block_until_ready()
+    bench_single_pass(a, baseline)
+    bench_headline_rsvd(a, baseline)   # HEADLINE: must stay last
 
 
 if __name__ == "__main__":

@@ -127,15 +127,21 @@ def _iter_blocks(a, n, block_rows, pad_value=0.0):
 
 
 def _stream_accumulate(a, n, block_rows, init, step):
-    """acc = step(acc, block_device, i) over all row blocks, with the next
-    block's host->device transfer dispatched before the current block's
-    compute (double buffering; device_put and jit dispatch are async)."""
+    """acc = step(acc, block_device, i) over all row blocks, double
+    buffered: block i+1 transfers host->device while block i's compute
+    runs. The ``block_until_ready`` on each fresh transfer bounds the
+    in-flight transfers to ONE — device_put is async and an unbounded
+    dispatch loop would otherwise enqueue the entire stream at once
+    (observed: GBs of host-side transfer buffers pinned and the
+    runtime's transfer queue saturated for minutes after the caller was
+    killed)."""
     acc = init
     pending = None  # (i, device_block)
     for i, host_blk in _iter_blocks(a, n, block_rows):
         dev_blk = jax.device_put(host_blk)
         if pending is not None:
             acc = step(acc, pending[1], pending[0])
+        dev_blk.block_until_ready()
         pending = (i, dev_blk)
     if pending is not None:
         acc = step(acc, pending[1], pending[0])

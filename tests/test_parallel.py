@@ -402,3 +402,44 @@ def test_member_sharded_ensemble_dmdc(rng):
     pred = rollout_ensemble(fit2, batch[:, :, 0:1], u, method="reduced")
     err = np.abs(np.asarray(pred[:, :, 19]) - np.asarray(batch[:, :, 20]))
     assert err.max() < 5e-2
+
+
+def test_sharded_hosvd_matches_single_device(rng):
+    _require_8()
+    from corrla_rs_tpu.ops.hosvd import hosvd, tucker_reconstruct
+    from corrla_rs_tpu.parallel.sharded_hosvd import sharded_hosvd
+
+    mesh = make_mesh(8)
+    # multilinear-rank (3, 2, 2) tensor, long axis 0 divisible by 8
+    g = rng.standard_normal((3, 2, 2))
+    u0 = np.linalg.qr(rng.standard_normal((160, 3)))[0]
+    u1 = np.linalg.qr(rng.standard_normal((6, 2)))[0]
+    u2 = np.linalg.qr(rng.standard_normal((5, 2)))[0]
+    t = np.einsum("abc,ia,jb,kc->ijk", g, u0, u1, u2)
+    t = t + 1e-9 * rng.standard_normal(t.shape)
+
+    core_s, fac_s = sharded_hosvd(t, (3, 2, 2), mesh=mesh)
+    assert core_s.shape == (3, 2, 2)
+    assert fac_s[0].shape == (160, 3)
+    for f, r in zip(fac_s, (3, 2, 2)):
+        np.testing.assert_allclose(
+            np.asarray(f).T @ np.asarray(f), np.eye(r), atol=1e-8
+        )
+    core_m, fac_m = hosvd(jnp.asarray(t), (3, 2, 2))
+    rec_s = np.asarray(tucker_reconstruct(core_s, fac_s))
+    rec_m = np.asarray(tucker_reconstruct(core_m, fac_m))
+    np.testing.assert_allclose(rec_s, rec_m, atol=1e-7)
+    np.testing.assert_allclose(rec_s, t, atol=1e-7)
+
+
+def test_sharded_hosvd_validates(rng):
+    _require_8()
+    from corrla_rs_tpu.parallel.sharded_hosvd import sharded_hosvd
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="divide"):
+        sharded_hosvd(rng.standard_normal((42, 3, 2)), (2, 2, 2),
+                      mesh=mesh)
+    with pytest.raises(ValueError, match="long"):
+        sharded_hosvd(rng.standard_normal((16, 30, 2)), (2, 2, 2),
+                      mesh=mesh)
