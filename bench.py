@@ -85,7 +85,7 @@ def bench_dream() -> None:
     )
 
     def run():
-        hist, state, ar = dream_run(heads0, lnp, n_steps, key=1)
+        hist, _state = dream_run(heads0, lnp, n_steps, key=1)
         return hist
 
     wall = _min_wall(run, lambda h: np.asarray(h[-1, 0]), reps=3)
