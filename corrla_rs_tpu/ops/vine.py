@@ -354,10 +354,21 @@ def _family_admissible(family: str, tau: float) -> bool:
 
 def _fit_pair(u, v, families=FAMILIES):
     """Fit each family by tau inversion; select by AIC (the one-parameter
-    families pay a 1-nat penalty so spurious near-zero dependence doesn't
-    beat the independence copula). Rotated clayton/gumbel compete for
-    their admissible tau sign (90/270: negative; base/180: positive)."""
+    families pay a 1-nat penalty). Rotated clayton/gumbel compete for
+    their admissible tau sign (90/270: negative; base/180: positive).
+
+    Family selection is preceded by the standard Kendall-tau independence
+    test (Dissmann et al. 2013 use exactly this gate before every pair
+    fit): under independence tau is asymptotically N(0, 2(2n+5)/(9n(n-1))),
+    and a noise-level tau routinely wins ~2 nats of spurious
+    log-likelihood — the AIC penalty alone cannot reject it, which shows
+    up as phantom dependence in the deep trees of a vine.
+    """
     tau = float(kendall_tau(u, v))
+    n = int(np.shape(u)[0])
+    tau_sd = math.sqrt(2.0 * (2 * n + 5) / (9.0 * n * (n - 1.0)))
+    if abs(tau) < 1.96 * tau_sd:
+        return "independent", 0.0, tau
     best = ("independent", 0.0, 0.0)
     for fam in families:
         if fam == "independent":
