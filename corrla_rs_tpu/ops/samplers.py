@@ -51,12 +51,17 @@ __all__ = [
 
 
 def _broadcast_alphas(alphas, ndim: int):
-    """Alpha validation/broadcast, parity with space_samplers.rs:76-95."""
+    """Alpha validation/broadcast, parity with space_samplers.rs:76-95.
+
+    Host numpy throughout: the result feeds a host-level uniformity check
+    and a jit argument — building it as a device array costs a dispatch
+    plus a device->host fetch per call (pure tunnel latency).
+    """
     if alphas is None:
-        return jnp.ones((ndim,))
-    a = jnp.atleast_1d(jnp.asarray(alphas, dtype=jnp.result_type(float)))
+        return np.ones((ndim,))
+    a = np.atleast_1d(np.asarray(alphas, dtype=np.float64))
     if a.shape[0] == 1:
-        return jnp.broadcast_to(a, (ndim,))
+        return np.broadcast_to(a, (ndim,))
     if a.shape[0] != ndim:
         raise ValueError(
             "Number of shape parameters to Dirichlet sampler must be ndim "
