@@ -213,22 +213,73 @@ def _gram_power(g, omega, n_iter):
     return lax.fori_loop(0, n_iter, body, omega)
 
 
-def streamed_gram(a, block_rows: int | None = None):
+def _stream_accumulate_multi(a, n, block_rows, init_fn, step, devices):
+    """Round-robin multi-device streaming: block i transfers to
+    ``devices[i % D]`` and accumulates into that device's own
+    accumulator; per-device double buffering bounds in-flight transfers
+    to one PER DEVICE (each accelerator has its own DMA engine, so D
+    transfers overlap D computes on real multi-chip hosts — on a
+    single-link host this degenerates gracefully to the serial driver).
+    Returns the list of per-device accumulators (caller combines — for
+    Gram-type sums, one device_put + add per device)."""
+    import jax
+
+    d_count = len(devices)
+    accs = [init_fn(dev) for dev in devices]
+    pending = [None] * d_count
+    for i, host_blk in _iter_blocks(a, n, block_rows):
+        d = i % d_count
+        dev_blk = jax.device_put(host_blk, devices[d])
+        if pending[d] is not None:
+            accs[d] = step(accs[d], pending[d][1], pending[d][0])
+        dev_blk.block_until_ready()
+        pending[d] = (i, dev_blk)
+    for d in range(d_count):
+        if pending[d] is not None:
+            accs[d] = step(accs[d], pending[d][1], pending[d][0])
+    return accs
+
+
+def streamed_gram(a, block_rows: int | None = None, devices=None):
     """G = A^T A (m, m) accumulated on device in one streamed pass, plus
     the column-sum vector (for centering). Returns ``(g, col_sums, n)``.
 
     The building block for out-of-core PCA/Pearson: the covariance of the
     centered data is ``(g - outer(s, s)/n) / (n - 1)``.
+
+    devices: optional list of jax devices — row blocks round-robin
+    across them with per-device partial Grams combined at the end
+    (multi-accelerator hosts overlap D transfers/computes; the partial
+    sums are exact, so the result is placement-independent up to fp
+    reduction order).
     """
+    import jax
+
     (n, m), dtype = _source_meta(a)
     if block_rows is None:
         block_rows = _default_block_rows(n, m, dtype)
-    g0 = jnp.zeros((m, m), dtype)
-    s0 = jnp.zeros((m,), dtype)
-    g, s = _stream_accumulate(
-        a, n, block_rows, (g0, s0),
+    if devices is None:
+        g0 = jnp.zeros((m, m), dtype)
+        s0 = jnp.zeros((m,), dtype)
+        g, s = _stream_accumulate(
+            a, n, block_rows, (g0, s0),
+            lambda acc, blk, _i: _acc_gram_and_sums(acc, blk),
+        )
+        return g, s, n
+    accs = _stream_accumulate_multi(
+        a, n, block_rows,
+        lambda dev: (
+            jax.device_put(jnp.zeros((m, m), dtype), dev),
+            jax.device_put(jnp.zeros((m,), dtype), dev),
+        ),
         lambda acc, blk, _i: _acc_gram_and_sums(acc, blk),
+        devices,
     )
+    g = accs[0][0]
+    s = accs[0][1]
+    for gd, sd in accs[1:]:
+        g = g + jax.device_put(gd, devices[0])
+        s = s + jax.device_put(sd, devices[0])
     return g, s, n
 
 
@@ -241,6 +292,7 @@ def streamed_random_svd(
     block_rows: int | None = None,
     method: str = "gram",
     center: bool = False,
+    devices=None,
 ):
     """Out-of-core randomized SVD: A never resident on device.
 
@@ -254,6 +306,13 @@ def streamed_random_svd(
     n_iter + 2 passes, no (m, m) storage. center=True subtracts the
     column means implicitly (exact, via the Gram/sum algebra) — the
     out-of-core PCA path; supported for method='gram'.
+
+    devices: optional list of jax devices (method='gram' only) — every
+    streamed pass round-robins row blocks across them with per-device
+    partial accumulators (Gram, Y blocks, B contributions) combined on
+    ``devices[0]``; on multi-accelerator hosts the D host->device DMA
+    queues and computes overlap. Results match the single-device path up
+    to fp reduction order.
 
     Parity: same sketch-distribution semantics as the in-memory path;
     sigma agreement tested on control shapes (tests/test_streaming.py).
@@ -272,6 +331,8 @@ def streamed_random_svd(
         raise ValueError("center=True requires method='gram'")
     if method not in ("gram", "power"):
         raise ValueError(f"method must be 'gram' or 'power', got {method!r}")
+    if devices is not None and method != "gram":
+        raise ValueError("devices= requires method='gram'")
     if block_rows is None:
         block_rows = _default_block_rows(n, m, dtype)
     k = min(int(rank) + int(n_oversamples), m)
@@ -280,7 +341,10 @@ def streamed_random_svd(
     omega = jax.random.normal(key, (m, k), dtype=dtype)
 
     if method == "gram":
-        g, csum, _ = streamed_gram(a, block_rows=block_rows)
+        g, csum, _ = streamed_gram(a, block_rows=block_rows,
+                                   devices=devices)
+        if devices is not None:
+            omega = jax.device_put(omega, devices[0])
         if center:
             mu = csum / n
             g = g - n * jnp.outer(mu, mu)
@@ -299,10 +363,26 @@ def streamed_random_svd(
         mu_w = jnp.matmul((csum / n)[None, :], w, precision=PRECISION)
     else:
         mu_w = jnp.zeros((1, k), dtype)
-    y_blocks = _stream_accumulate(
-        a, n, block_rows, [],
-        lambda ys, blk, _i: ys + [_blk_matmul(blk, w) - mu_w],
-    )
+    if devices is None:
+        y_blocks = _stream_accumulate(
+            a, n, block_rows, [],
+            lambda ys, blk, _i: ys + [_blk_matmul(blk, w) - mu_w],
+        )
+    else:
+        w_reps = [jax.device_put(w, d) for d in devices]
+        mu_reps = [jax.device_put(mu_w, d) for d in devices]
+        per_dev = _stream_accumulate_multi(
+            a, n, block_rows, lambda _dev: [],
+            lambda ys, blk, i: ys + [
+                (i, _blk_matmul(blk, w_reps[i % len(devices)])
+                 - mu_reps[i % len(devices)])
+            ],
+            devices,
+        )
+        indexed = sorted(
+            (i, y_i) for ys in per_dev for (i, y_i) in ys
+        )
+        y_blocks = [jax.device_put(y_i, devices[0]) for _i, y_i in indexed]
     y = jnp.concatenate(y_blocks, axis=0)  # (n_pad, k); pad rows == -mu_w
     # zero the pad rows (centering makes them nonzero; they must not
     # influence the range)
@@ -317,9 +397,28 @@ def streamed_random_svd(
         q_i = lax.dynamic_slice_in_dim(q, i * block_rows, block_rows, 0)
         return _acc_b(acc, q_i, blk)
 
-    b = _stream_accumulate(
-        a, n, block_rows, jnp.zeros((k, m), dtype), b_step
-    )
+    if devices is None:
+        b = _stream_accumulate(
+            a, n, block_rows, jnp.zeros((k, m), dtype), b_step
+        )
+    else:
+        def b_step_multi(acc, blk, i):
+            d = devices[i % len(devices)]
+            q_i = jax.device_put(
+                lax.dynamic_slice_in_dim(q, i * block_rows, block_rows, 0),
+                d,
+            )
+            return _acc_b(acc, q_i, blk)
+
+        partials = _stream_accumulate_multi(
+            a, n, block_rows,
+            lambda dev: jax.device_put(jnp.zeros((k, m), dtype), dev),
+            b_step_multi,
+            devices,
+        )
+        b = partials[0]
+        for bp in partials[1:]:
+            b = b + jax.device_put(bp, devices[0])
     if center:
         q1 = jnp.sum(q[:n], axis=0)  # pad rows of q are exactly zero
         b = b - jnp.outer(q1, csum / n)
@@ -412,7 +511,7 @@ def _acc_psi_q(b, q_i, k_psi, i, block_rows, ell):
 
 def streamed_pca(a, n_comps: int, n_iter: int = 20,
                  n_oversamples: int | None = None, key=0,
-                 block_rows: int | None = None):
+                 block_rows: int | None = None, devices=None):
     """Out-of-core PCA: reference ``PcaRsvd`` semantics (pca_rsvd.rs:56-82
     — column centering, RSVD with 20 power iters, min(n_dim, 10)
     oversamples) on a host-resident sample matrix of any length.
@@ -426,6 +525,7 @@ def streamed_pca(a, n_comps: int, n_iter: int = 20,
     _u, s, vt = streamed_random_svd(
         a, int(n_comps), n_iter, n_oversamples, key=key,
         block_rows=block_rows, method="gram", center=True,
+        devices=devices,
     )
     return s[:, None], vt
 

@@ -57,8 +57,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, default=128,
                     help="number of 128 MB tiles (128 -> 16 GB)")
-    ap.add_argument("--skip-single-pass", action="store_true")
+    ap.add_argument("--methods", default="gram,power,single",
+                    help="comma list from {gram, power, single}")
     args = ap.parse_args()
+    methods = set(args.methods.split(","))
 
     # block with an exactly known decaying spectrum: B = Ql diag(s) Qr^T
     # (sigma_i(B) = s_i by construction), so sigma_i(A) =
@@ -77,6 +79,8 @@ def main():
     s_oracle = np.sqrt(args.tiles) * s_true[:RANK]
 
     for method, passes in (("gram", 3), ("power", N_ITER + 2)):
+        if method not in methods:
+            continue
         t0 = time.perf_counter()
         _u, s, _vt = streamed_random_svd(
             src, RANK, N_ITER, N_OS, key=3, block_rows=BLOCK_ROWS,
@@ -90,7 +94,7 @@ def main():
               f"{passes * gb / wall:.2f} GB/s effective)  "
               f"sigma rel err vs oracle {rel:.2e}")
 
-    if not args.skip_single_pass:
+    if "single" in methods:
         t0 = time.perf_counter()
         _u, s, _vt = streamed_single_pass_svd(
             src, RANK, N_OS, key=3, block_rows=BLOCK_ROWS

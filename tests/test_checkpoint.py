@@ -157,7 +157,7 @@ def test_copula_checkpoint_roundtrips(rng, tmp_path):
 
     z = rng.multivariate_normal([0, 0, 0],
                                 [[1, .7, .2], [.7, 1, .4], [.2, .4, 1]],
-                                size=600)
+                                size=400)
     g = GaussianCopula().fit(jnp.asarray(z[:, :2]))
     b = BivariateCopula("auto").fit(jnp.asarray(z[:, :2]))
     v = CVineCopula().fit(z)

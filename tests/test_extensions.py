@@ -152,7 +152,7 @@ def test_sparse_gp_matches_exact_when_inducing_all(rng):
 def test_sparse_gp_large_n(rng):
     from corrla_rs_tpu.ops.gp import SparseGpRegressor
 
-    n = 20000
+    n = 8000
     x = np.sort(rng.uniform(0, 6, n))[:, None]
     y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
     sp = SparseGpRegressor("rbf", inducing=64, key=7).fit(

@@ -153,3 +153,28 @@ def test_streamed_errors(rng):
         streamed_hosvd(rng.standard_normal((8, 3, 3)), (2, 2))
     with pytest.raises(ValueError, match="must be in"):
         streamed_hosvd(rng.standard_normal((8, 3, 3)), (2, 5, 2))
+
+
+def test_streamed_multi_device_matches_single(rng):
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple (virtual) devices")
+    devs = jax.devices()[:4]
+    a = _decaying_matrix(rng, 300, 24)
+    u0, s0, vt0 = streamed_random_svd(a, 8, 6, 8, key=3, block_rows=48)
+    u1, s1, vt1 = streamed_random_svd(
+        a, 8, 6, 8, key=3, block_rows=48, devices=devs
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-9)
+    p0 = np.asarray(u0) @ np.asarray(u0).T
+    p1 = np.asarray(u1) @ np.asarray(u1).T
+    np.testing.assert_allclose(p1, p0, atol=1e-8)
+    # PCA variant too
+    s_p0, c0 = streamed_pca(a, 4, block_rows=48)
+    s_p1, c1 = streamed_pca(a, 4, block_rows=48, devices=devs)
+    np.testing.assert_allclose(np.asarray(s_p1), np.asarray(s_p0),
+                               rtol=1e-9)
+    # devices= demands the gram method
+    with pytest.raises(ValueError, match="gram"):
+        streamed_random_svd(a, 4, 4, 4, method="power", devices=devs)

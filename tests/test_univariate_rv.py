@@ -119,7 +119,7 @@ def test_kde():
 
 def test_build_kde():
     support_s = NormalRv(5.25, 10.0).sample(400, key=10)
-    auto = build_kde(1.0, support_s, n_iter=6, method=2, key=11)
+    auto = build_kde(1.0, support_s, n_iter=4, method=2, key=11)
     ks = auto.sample(50000, key=12)
     assert abs(float(jnp.mean(ks)) - float(jnp.mean(support_s))) < 9e-1
     assert abs(float(jnp.std(ks)) - float(jnp.std(support_s))) < 3.0
