@@ -183,19 +183,38 @@ def _chol_qr_cols(w, h):
     """Given H = A^T A W, orthonormalize the *columns of A W* without
     touching n-space: R^T R = W^T H = (A W)^T (A W); return H R^{-1}
     (= A^T A W stabilized, the next iterate) — CholeskyQR in m-space.
-    Column pre-normalization + small ridge exactly as ops/random_svd's
-    _cholesky_qr2 rationale."""
+
+    Rank-deficient sketches (numerical rank of A below the sketch width
+    — routine for exactly-low-rank sources): null-direction diagonals of
+    W^T H round to ~0 while off-diagonal rounding noise does not, so the
+    diagonal normalizer gets a RELATIVE floor (eps * max diag) that
+    bounds the normalized entries, and the Cholesky carries the same
+    small/large ridge fallback as ops/random_svd._cholesky_qr2 — junk
+    directions degrade to ~ridge-level orthonormality and the final
+    Householder QR (plus B re-accumulated from the raw data) keeps them
+    out of every sigma. (Observed: NaN sigmas on a rank-6 generated
+    source before the floor.)"""
     dtype = w.dtype
-    eps = 1e-7 if dtype == jnp.float32 else 1e-15
+    if dtype == jnp.float32:
+        eps_small, floor_rel = 1e-6, 1e-6
+    else:
+        eps_small, floor_rel = 1e-14, 1e-14
+    # fallback ridge: with the floored normalizer the entries of ytyn are
+    # bounded by ~1.1, so lambda_min >= -1.1 k; 2 (1 + k) dominates it
+    eps_big = 2.0
     k = w.shape[1]
     yty = jnp.matmul(w.T, h, precision=PRECISION)
     # symmetrize (w^T h is Gram of A w up to rounding)
     yty = 0.5 * (yty + yty.T)
-    d = jnp.sqrt(jnp.maximum(jnp.diagonal(yty), 1e-30))
+    diag = jnp.diagonal(yty)
+    mx = jnp.maximum(jnp.max(diag), jnp.asarray(1e-300, dtype))
+    d = jnp.sqrt(jnp.maximum(diag, floor_rel * mx))
     ytyn = yty / (d[:, None] * d[None, :])
-    r = jnp.linalg.cholesky(
-        ytyn + eps * jnp.eye(k, dtype=dtype), upper=True
-    )
+    eye = jnp.eye(k, dtype=dtype)
+    r_small = jnp.linalg.cholesky(ytyn + eps_small * eye, upper=True)
+    ok = jnp.all(jnp.isfinite(r_small))
+    r_big = jnp.linalg.cholesky(ytyn + eps_big * (1 + k) * eye, upper=True)
+    r = jnp.where(ok, r_small, r_big)
     hn = h / d[None, :]
     return lax.linalg.triangular_solve(
         r, hn, left_side=False, lower=False

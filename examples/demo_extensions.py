@@ -119,6 +119,41 @@ def main():
           f"{rho.min():.4f}..{rho.max():.4f}; worst rollout err "
           f"{errs.max():.1e}")
 
+    # R-vine with learned structure + rotated families (round 3): a
+    # Markov chain in the first three variables, a NEGATIVE-tau
+    # lower-upper-tail pair in the last two — the rotated clayton family
+    # the base set cannot represent
+    from corrla_rs_tpu import RVineCopula
+    from corrla_rs_tpu.ops import vine as _vine
+
+    th90 = _vine._theta_from_tau("clayton90", -0.5)
+    ww = rng.uniform(1e-6, 1 - 1e-6, (1500, 2))
+    neg = np.asarray(_vine._HINV["clayton90"](
+        jnp.asarray(ww[:, 1]), jnp.asarray(ww[:, 0]), th90))
+    zr = rng.standard_normal((1500, 2))
+    chain2 = 0.85 * zr[:, 0] + np.sqrt(1 - 0.7225) * zr[:, 1]
+    rdata = np.stack([zr[:, 0], chain2, ww[:, 0], neg], axis=1)
+    rv = RVineCopula().fit(rdata)
+    print("R-vine learned structure:",
+          [(a, b, fam) for (a, b, _c, fam, _t) in rv.trees[0]])
+
+    # Out-of-core streamed PCA: the matrix never exists in memory (a
+    # generator source), 3 total passes
+    from corrla_rs_tpu import RowBlockSource, streamed_pca
+
+    basis = rng.standard_normal((6, 64)).astype(np.float32)
+
+    def make_rows(lo, hi):
+        local = np.random.default_rng(1234 + lo)
+        coef = local.standard_normal((hi - lo, 6)).astype(np.float32)
+        return coef @ (basis * np.array(
+            [5, 4, 3, 2, 1, 0.5], np.float32)[:, None])
+
+    src = RowBlockSource(make_rows, (200_000, 64), np.float32)
+    s_pca, comps = streamed_pca(src, 4, block_rows=16_384)
+    print(f"streamed PCA over a generated 200k x 64 source: "
+          f"sigma {np.asarray(s_pca[:, 0]).round(1)}")
+
     # DREAM + diagnostics
     def lnp(q):
         return -0.5 * jnp.sum(q**2)

@@ -178,3 +178,21 @@ def test_streamed_multi_device_matches_single(rng):
     # devices= demands the gram method
     with pytest.raises(ValueError, match="gram"):
         streamed_random_svd(a, 4, 4, 4, method="power", devices=devs)
+
+
+def test_streamed_rank_deficient_source(rng):
+    # numerical rank below the sketch width (exactly rank-5 source in
+    # f32): the m-space CholeskyQR's floored normalizer + ridge fallback
+    # must keep the iteration finite, and the true sigmas stay accurate
+    # (regression: NaN sigmas before the relative diagonal floor)
+    basis = rng.standard_normal((5, 40)).astype(np.float32)
+    scale = np.array([8, 4, 2, 1, 0.5], np.float32)
+    coef = rng.standard_normal((3000, 5)).astype(np.float32)
+    a = coef @ (basis * scale[:, None])
+    u, s, vt = streamed_random_svd(a, 4, 8, 10, key=0, block_rows=512)
+    s = np.asarray(s)
+    assert np.isfinite(s).all()
+    s_true = np.linalg.svd(a.astype(np.float64), compute_uv=False)[:4]
+    np.testing.assert_allclose(s, s_true, rtol=2e-4)
+    sp, _c = streamed_pca(a, 3, block_rows=512)
+    assert np.isfinite(np.asarray(sp)).all()
