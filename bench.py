@@ -71,26 +71,32 @@ def _min_wall(fn, sync, reps=5):
 
 def bench_dream() -> None:
     from corrla_rs_tpu.ops.dream import dream_run
-    from corrla_rs_tpu.utils.smallpath import set_small_path_threshold
-
-    set_small_path_threshold(0)  # benchmark the accelerator path
-    n_chains, ndim, n_steps = 8192, 3, 500
-
-    def lnp(x):
-        return -0.5 * jnp.sum(x * x)
-
-    heads0 = jnp.asarray(
-        np.random.default_rng(0).standard_normal((n_chains, ndim)),
-        jnp.float32,
+    from corrla_rs_tpu.utils.smallpath import (
+        set_small_path_threshold,
+        small_path_threshold,
     )
 
-    def run():
-        hist, _state = dream_run(heads0, lnp, n_steps, key=1)
-        return hist
+    prev_threshold = small_path_threshold()
+    set_small_path_threshold(0)  # benchmark the accelerator path
+    try:
+        n_chains, ndim, n_steps = 8192, 3, 500
 
-    wall = _min_wall(run, lambda h: np.asarray(h[-1, 0]), reps=3)
+        def lnp(x):
+            return -0.5 * jnp.sum(x * x)
+
+        heads0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal((n_chains, ndim)),
+            jnp.float32,
+        )
+
+        def run():
+            hist, _state = dream_run(heads0, lnp, n_steps, key=1)
+            return hist
+
+        wall = _min_wall(run, lambda h: np.asarray(h[-1, 0]), reps=3)
+    finally:
+        set_small_path_threshold(prev_threshold)
     rate = n_chains * n_steps / wall
-    set_small_path_threshold(1 << 20)
     _emit("dream_samples_per_sec_8192ch", rate, "samples/s", rate / 1e6)
 
 

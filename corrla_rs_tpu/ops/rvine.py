@@ -330,23 +330,42 @@ class RVineCopula:
                 matches = [e for e in lvl
                            if x in (e.a, e.b)]
                 # x is a conditioned member of exactly one edge per level
-                # (the defining property of an elimination variable)
-                assert len(matches) == 1, (x, lvl)
+                # (the defining property of an elimination variable).
+                # Real exceptions, not asserts: fit() relies on this
+                # validation raising for invalid structures, and asserts
+                # vanish under python -O
+                if len(matches) != 1:
+                    raise RuntimeError(
+                        f"invalid vine: variable {x} is conditioned in "
+                        f"{len(matches)} edges of one tree (expected 1)"
+                    )
                 chain.append(matches[0])
             # the R-vine column property the sampler relies on: the
             # conditioning set at tree t is exactly x's partners from
             # trees 1..t-1
             partners = [e.b if e.a == x else e.a for e in chain]
             for t_lvl, e in enumerate(chain):
-                assert e.cond == frozenset(partners[:t_lvl]), (x, e)
+                if e.cond != frozenset(partners[:t_lvl]):
+                    raise RuntimeError(
+                        f"invalid vine: edge {e} breaks the nested-"
+                        f"conditioning column property for variable {x}"
+                    )
             for lvl, e in zip(levels, chain):
                 lvl.remove(e)
             # only the (single-edge) top level empties each round
-            assert not levels[-1], "non-top level emptied — invalid vine"
+            if levels[-1]:
+                raise RuntimeError(
+                    "invalid vine: top tree did not empty after "
+                    "eliminating its conditioned variable"
+                )
             levels.pop()
             order.append((x, chain))
         remaining = set(range(self.d)) - {x for x, _ in order}
-        assert len(remaining) == 1
+        if len(remaining) != 1:
+            raise RuntimeError(
+                f"invalid vine: {len(remaining)} variables left after "
+                "elimination (expected exactly 1)"
+            )
         order.append((remaining.pop(), []))
         return order
 

@@ -360,14 +360,23 @@ def streamed_random_svd(
     omega = jax.random.normal(key, (m, k), dtype=dtype)
 
     if method == "gram":
-        g, csum, _ = streamed_gram(a, block_rows=block_rows,
-                                   devices=devices)
-        if devices is not None:
-            omega = jax.device_put(omega, devices[0])
-        if center:
-            mu = csum / n
-            g = g - n * jnp.outer(mu, mu)
-        w = _gram_power(g, omega, int(n_iter)) if n_iter > 0 else omega
+        if n_iter <= 0 and not center:
+            # neither the Gram nor the column sums would be consumed:
+            # skip the whole pass (passes over A are the budget) — the
+            # sketch-only factorization needs 2 passes, not 3
+            csum = jnp.zeros((m,), dtype)
+            w = omega
+            if devices is not None:
+                w = jax.device_put(w, devices[0])
+        else:
+            g, csum, _ = streamed_gram(a, block_rows=block_rows,
+                                       devices=devices)
+            if devices is not None:
+                omega = jax.device_put(omega, devices[0])
+            if center:
+                mu = csum / n
+                g = g - n * jnp.outer(mu, mu)
+            w = _gram_power(g, omega, int(n_iter)) if n_iter > 0 else omega
     else:
         w = omega
         for _ in range(int(n_iter)):
@@ -589,6 +598,15 @@ def streamed_hosvd(tensor, ranks, block_slabs: int | None = None,
     n0 = shape[0]
     rest = shape[1:]
     n_rest = int(np.prod(rest))
+    if ranks[0] > n_rest:
+        # fail BEFORE streaming the (possibly multi-GB) source: the
+        # mode-0 unfolding has only n_rest columns, so its rank is
+        # structurally capped there and the core reshape would die late
+        # with an opaque broadcasting error otherwise
+        raise ValueError(
+            f"ranks[0]={ranks[0]} exceeds prod(other dims)={n_rest}; the "
+            "mode-0 unfolding cannot have higher rank — lower ranks[0]"
+        )
     if block_slabs is None:
         block_slabs = _default_block_rows(n0, n_rest, dtype)
 
@@ -647,6 +665,10 @@ def streamed_hosvd(tensor, ranks, block_slabs: int | None = None,
     def proj_step(carry, slab, _i):
         core, u_rows = carry
         core, u_blk = proj_kernel(core, slab, v0r, s0, short_factors)
+        if not compute_mode0_rows:
+            # honor the memory promise: don't keep the O(n0 * r0)
+            # factor resident when the caller declined it
+            return core, u_rows
         return core, u_rows + [u_blk]
 
     core_flat0 = jnp.zeros((ranks[0], int(np.prod(ranks[1:]))), dtype)

@@ -364,8 +364,12 @@ def _fit_pair(u, v, families=FAMILIES):
     log-likelihood — the AIC penalty alone cannot reject it, which shows
     up as phantom dependence in the deep trees of a vine.
     """
-    tau = float(kendall_tau(u, v))
     n = int(np.shape(u)[0])
+    if n < 2:
+        raise ValueError(
+            f"pair-copula fitting needs at least 2 samples, got {n}"
+        )
+    tau = float(kendall_tau(u, v))
     tau_sd = math.sqrt(2.0 * (2 * n + 5) / (9.0 * n * (n - 1.0)))
     if abs(tau) < 1.96 * tau_sd:
         return "independent", 0.0, tau

@@ -105,6 +105,13 @@ def sharded_hosvd(tensor, ranks, n_iter: int = 8, n_oversamples: int = 8,
 
     # mode-0 factor: row-sharded randomized SVD of the tall unfolding
     n_rest = int(np.prod(tensor.shape[1:]))
+    if ranks[0] > n_rest:
+        raise ValueError(
+            f"ranks[0]={ranks[0]} exceeds prod(other dims)={n_rest}; the "
+            "mode-0 unfolding cannot have higher rank — lower ranks[0] "
+            "(sharded_random_svd would silently clamp the sketch and the "
+            "core reshape would fail late otherwise)"
+        )
     if tensor.shape[0] < n_rest:
         raise ValueError(
             f"sharded_hosvd shards axis 0 and needs it to be the long "

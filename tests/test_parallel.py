@@ -443,3 +443,13 @@ def test_sharded_hosvd_validates(rng):
     with pytest.raises(ValueError, match="long"):
         sharded_hosvd(rng.standard_normal((16, 30, 2)), (2, 2, 2),
                       mesh=mesh)
+
+
+def test_sharded_hosvd_mode0_rank_validated(rng):
+    _require_8()
+    from corrla_rs_tpu.parallel.sharded_hosvd import sharded_hosvd
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="prod"):
+        sharded_hosvd(rng.standard_normal((160, 2, 2)), (8, 2, 2),
+                      mesh=mesh)

@@ -196,3 +196,36 @@ def test_streamed_rank_deficient_source(rng):
     np.testing.assert_allclose(s, s_true, rtol=2e-4)
     sp, _c = streamed_pca(a, 3, block_rows=512)
     assert np.isfinite(np.asarray(sp)).all()
+
+
+def test_streamed_hosvd_mode0_rank_validated_up_front(rng):
+    # review finding: ranks[0] > prod(other dims) must raise BEFORE
+    # streaming, not die late with a broadcasting error
+    with pytest.raises(ValueError, match="prod"):
+        streamed_hosvd(rng.standard_normal((100, 2, 2)), (8, 2, 2))
+
+
+def test_streamed_gram_skipped_when_unused(rng):
+    # n_iter=0 without centering: sketch-only path must not stream the
+    # gram pass (2 passes total); verified by counting source reads
+    reads = []
+    a = _decaying_matrix(rng, 128, 10)
+
+    def fn(lo, hi):
+        reads.append((lo, hi))
+        return a[lo:hi]
+
+    src = RowBlockSource(fn, a.shape, a.dtype)
+    _u, s, _vt = streamed_random_svd(src, 3, 0, 4, key=1, block_rows=64)
+    assert np.isfinite(np.asarray(s)).all()
+    n_blocks = 2
+    assert len(reads) == 2 * n_blocks  # Y pass + B pass only
+
+
+def test_pair_fit_single_sample_raises(rng):
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops import vine as v
+
+    with pytest.raises(ValueError, match="at least 2"):
+        v._fit_pair(jnp.asarray([0.5]), jnp.asarray([0.5]))
