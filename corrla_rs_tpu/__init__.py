@@ -81,6 +81,7 @@ from corrla_rs_tpu.ops.streaming import (
     RowBlockSource,
     streamed_hosvd,
     streamed_pca,
+    streamed_pod,
     streamed_random_svd,
     streamed_single_pass_svd,
 )
@@ -167,6 +168,7 @@ __all__ = [
     "streamed_random_svd",
     "streamed_single_pass_svd",
     "streamed_pca",
+    "streamed_pod",
     "streamed_hosvd",
     "gelman_rubin",
     "rank_normalized_rhat",

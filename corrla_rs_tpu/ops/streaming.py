@@ -59,6 +59,7 @@ __all__ = [
     "streamed_single_pass_svd",
     "streamed_gram",
     "streamed_pca",
+    "streamed_pod",
     "streamed_hosvd",
 ]
 
@@ -682,3 +683,120 @@ def streamed_hosvd(tensor, ranks, block_slabs: int | None = None,
         u0 = None
     factors[0] = u0
     return core, factors
+
+
+def _iter_col_blocks(x, n_cols, block_cols):
+    """Yield (i, host_block) of column slices ``x[:, lo:hi]``, the last
+    block zero-padded to ``block_cols`` (one static kernel shape)."""
+    n_blocks = -(-n_cols // block_cols)
+    for i in range(n_blocks):
+        lo = i * block_cols
+        hi = min(lo + block_cols, n_cols)
+        blk = np.asarray(x[:, lo:hi])
+        if hi - lo < block_cols:
+            pad = np.zeros(
+                (blk.shape[0], block_cols - (hi - lo)), dtype=blk.dtype
+            )
+            blk = np.concatenate([blk, pad], axis=1)
+        yield i, blk
+
+
+@jax.jit
+def _acc_snapshot_gram(h, blk):
+    """H += X_c X_c^T for a column (spatial) chunk — zero-padded columns
+    contribute nothing."""
+    return h + jnp.matmul(blk, blk.T, precision=PRECISION)
+
+
+@jax.jit
+def _modes_chunk(blk, vs):
+    return jnp.matmul(blk.T, vs, precision=PRECISION)
+
+
+def streamed_pod(x, t, n_modes: int, block_cols: int | None = None):
+    """Out-of-core POD: spatial grids larger than memory, via the method
+    of snapshots (Sirovich 1987).
+
+    x: (n_snapshots, n_points) with n_points huge — any object supporting
+    COLUMN slices ``x[:, lo:hi]`` (numpy array, ``np.memmap``, HDF5
+    dataset...). Column chunks stream host->device exactly TWICE:
+
+    - pass 1 accumulates the small snapshot Gram H = X X^T
+      (n_snap, n_snap) on device;
+    - ``eigh(H)`` gives the right singular structure: sigma_i =
+      sqrt(lambda_i), and the mode weights come FREE as
+      W = X Phi = V Sigma (no third pass);
+    - pass 2 assembles the spatial modes Phi = X^T V Sigma^{-1}
+      chunk-by-chunk ((n_points, n_modes) must fit on device — the same
+      bound as the fitted model itself).
+
+    Returns a fitted ``models.pod.PodI`` (same predict surface; modes
+    span the identical subspace as the RSVD-based in-memory fit — parity
+    tested at prediction level). The exogenous-variable RBF interpolation
+    is identical to the in-memory path. 2 total passes, deterministic
+    (the snapshot Gram is exact — no sketch).
+    """
+    from corrla_rs_tpu.models.pod import PodI
+
+    shape, dtype = _source_meta(x)
+    if len(shape) != 2:
+        raise ValueError(f"x must be 2-D (n_snapshots, n_points), got {shape}")
+    n_snap, n_pts = shape
+    t = jnp.asarray(t)
+    if t.shape[0] != n_snap:
+        raise ValueError(
+            f"t rows ({t.shape[0]}) must match snapshot rows ({n_snap})"
+        )
+    r = min(int(n_modes), n_snap)
+    if block_cols is None:
+        block_cols = max(64, int(512e6 / max(
+            n_snap * jnp.dtype(dtype).itemsize, 1)))
+        block_cols = min(n_pts, block_cols)
+
+    # pass 1: snapshot Gram (double buffered, bounded in-flight)
+    h = jnp.zeros((n_snap, n_snap), dtype)
+    pending = None
+    for i, blk in _iter_col_blocks(x, n_pts, block_cols):
+        dev_blk = jax.device_put(blk)
+        if pending is not None:
+            h = _acc_snapshot_gram(h, pending)
+        dev_blk.block_until_ready()
+        pending = dev_blk
+    if pending is not None:
+        h = _acc_snapshot_gram(h, pending)
+
+    lam, v = jnp.linalg.eigh(h)
+    lam = lam[::-1]
+    v = v[:, ::-1]
+    sig = jnp.sqrt(jnp.maximum(lam[:r], jnp.asarray(1e-30, dtype)))
+    vs = v[:, :r] / sig[None, :]       # X^T vs = orthonormal modes
+    weights = v[:, :r] * sig[None, :]  # X Phi == V Sigma, exactly
+
+    # pass 2: spatial modes, chunkwise
+    mode_blocks = []
+    pending = None
+    for i, blk in _iter_col_blocks(x, n_pts, block_cols):
+        dev_blk = jax.device_put(blk)
+        if pending is not None:
+            mode_blocks.append(_modes_chunk(pending, vs))
+        dev_blk.block_until_ready()
+        pending = dev_blk
+    if pending is not None:
+        mode_blocks.append(_modes_chunk(pending, vs))
+    modes = jnp.concatenate(mode_blocks, axis=0)[:n_pts]
+
+    from corrla_rs_tpu.ops.interp import rbf_fit
+    from corrla_rs_tpu.utils.config import PodConfig
+
+    model = PodI.__new__(PodI)
+    cfg = PodConfig()
+    model._n_iter = int(cfg.n_iter)
+    model._n_oversamples = int(cfg.n_oversamples)
+    model._mesh = None
+    model.n_snapshots = n_snap
+    model.n_modes = r
+    model.t_abscissa = t
+    model.modes = modes
+    model.mode_weights = weights
+    model._rbf_coeffs = rbf_fit(t, weights, "linear", 1.0, 1)
+    return model

@@ -229,3 +229,53 @@ def test_pair_fit_single_sample_raises(rng):
 
     with pytest.raises(ValueError, match="at least 2"):
         v._fit_pair(jnp.asarray([0.5]), jnp.asarray([0.5]))
+
+
+def test_streamed_pod_matches_in_memory(rng):
+    from corrla_rs_tpu.models.pod import PodI
+    from corrla_rs_tpu.ops.streaming import streamed_pod
+    from corrla_rs_tpu.utils.checkpoint import load_model, save_model
+
+    # Gaussian pulse family (the reference POD fixture shape): snapshots
+    # over a 3000-point grid, exogenous variable t
+    nx, ns = 3000, 20
+    xg = np.linspace(0, 10, nx)
+    tg = np.linspace(1, 9, ns)[:, None]
+    p = (0.5 * tg) * np.exp(-((xg[None, :] - tg) ** 2) / 4.0)
+
+    ref = PodI(jnp.asarray(p), jnp.asarray(tg), 4)
+    st = streamed_pod(p, tg, 4, block_cols=700)
+    assert st.modes.shape == (nx, 4)
+    # modes orthonormal and spanning the same subspace
+    m = np.asarray(st.modes)
+    np.testing.assert_allclose(m.T @ m, np.eye(4), atol=1e-9)
+    mr = np.asarray(ref.modes)
+    overlap = np.linalg.svd(mr.T @ m, compute_uv=False)
+    assert overlap[-1] > 1 - 1e-9
+    # identical predictions (the fitted surrogate is the deliverable)
+    tq = np.array([[5.2], [2.5], [7.7]])
+    np.testing.assert_allclose(
+        np.asarray(st.predict(jnp.asarray(tq))),
+        np.asarray(ref.predict(jnp.asarray(tq))), atol=1e-8,
+    )
+    # the streamed fit is a real PodI: checkpoint round-trips
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "pod.npz")
+        save_model(path, st)
+        st2 = load_model(path)
+        np.testing.assert_allclose(
+            np.asarray(st2.predict(jnp.asarray(tq))),
+            np.asarray(st.predict(jnp.asarray(tq))), atol=1e-12,
+        )
+
+
+def test_streamed_pod_validates(rng):
+    from corrla_rs_tpu.ops.streaming import streamed_pod
+
+    with pytest.raises(ValueError, match="2-D"):
+        streamed_pod(rng.standard_normal((4, 5, 6)), np.zeros((4, 1)), 2)
+    with pytest.raises(ValueError, match="match"):
+        streamed_pod(rng.standard_normal((4, 50)), np.zeros((3, 1)), 2)
