@@ -35,7 +35,7 @@ from corrla_rs_tpu.api import (
 )
 from corrla_rs_tpu.models.pca import PcaRsvd
 from corrla_rs_tpu.models.pod import PodI
-from corrla_rs_tpu.models.dmd import DMDc
+from corrla_rs_tpu.models.dmd import DMD, DMDc
 from corrla_rs_tpu.models.active_subspaces import (
     ActiveSsRsvd,
     FittedActiveSsRsvd,
@@ -123,6 +123,7 @@ __all__ = [
     "single_pass_svd",
     "PcaRsvd",
     "PodI",
+    "DMD",
     "DMDc",
     "RbfInterp",
     "ActiveSsRsvd",

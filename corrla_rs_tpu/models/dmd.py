@@ -412,3 +412,157 @@ def rollout_ensemble(fit, x0_batch, u_seq, method: str = "reduced"):
 # stable-identity batched rollouts (see _ensemble_fitter docstring)
 _ROLLOUT_REDUCED_BATCHED = jax.jit(jax.vmap(_rollout_reduced))
 _ROLLOUT_FACTORED_BATCHED = jax.jit(jax.vmap(_rollout_factored))
+
+
+# ---------------------------------------------------------------------------
+# Plain (uncontrolled) DMD — EXTENSION, no reference analogue
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("n_modes", "n_iters", "n_oversamples")
+)
+def _dmd_reduce_kernel(x_data, n_modes, n_iters, n_oversamples, key):
+    """Exact DMD stage 1 (Tu et al. 2014): rank-r RSVD of X1 and the
+    reduced operator A~ = U^T X2 V S^{-1}; also returns the exact-mode
+    prefactor X2 V S^{-1} (modes Phi = X2 V S^{-1} W)."""
+    x1 = x_data[:, :-1]
+    x2 = x_data[:, 1:]
+    u_r, s_r, vt_r = random_svd(x1, n_modes, n_iters, n_oversamples,
+                                key=key)
+    v_r = vt_r.T
+    s_inv = pinv_diag(jnp.diag(s_r))
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+    proj = mm(mm(x2, v_r), s_inv)          # (n_x, r) exact-mode prefactor
+    a_til = mm(u_r.T, proj)
+    return a_til, proj, u_r
+
+
+@jax.jit
+def _rollout_plain(phi_re, phi_im, w_re, w_im, x0, n_ones):
+    """x <- Re(Phi Lambda Phi^+) x via the factored form, O(n_x r)/step.
+    ``n_ones`` is a length-n_steps dummy scanned for its length only."""
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+
+    def step(x, _):
+        ax = mm(phi_re, mm(w_re, x)) - mm(phi_im, mm(w_im, x))
+        return ax, ax[:, 0]
+
+    _, xs = lax.scan(step, x0, n_ones)
+    return xs.T
+
+
+class DMD:
+    """Exact Dynamic Mode Decomposition (no control input) — EXTENSION
+    (the reference only implements DMDc; this completes the ROM family
+    with the Tu / Rowley / Luchtenburg / Brunton / Kutz 2014 exact DMD).
+
+    x_data: (n_x, n_t) snapshot columns of an autonomous system
+    x_{t+1} ~= A x_t. Rank-r fit via the library's randomized SVD of X1;
+    A~ = U_r^T X2 V_r S_r^{-1}; exact DMD modes Phi = X2 V_r S_r^{-1} W.
+
+    eig_backend: 'host' (LAPACK, eager between jitted stages) or
+    'device' (ops/eig_device Francis-QR — zero host sync, vmappable).
+
+    Attributes after fit: ``lambdas`` (complex host array),
+    ``modes_re``/``modes_im`` (n_x, r), ``amplitudes`` (complex host —
+    b = Phi^+ x_0, the spectral content of the first snapshot).
+    ``eigs_continuous(dt)`` returns log(lambda)/dt (growth rate +
+    i*frequency).
+    """
+
+    def __init__(self, x_data, n_modes: int, n_iters: int = 10, key=0,
+                 eig_backend: str = "host",
+                 config: DmdConfig | None = None):
+        cfg = config or DmdConfig()
+        if eig_backend not in ("host", "device"):
+            raise ValueError(
+                f"eig_backend must be 'host' or 'device', got {eig_backend!r}"
+            )
+        from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+        (x_data,) = maybe_route_small(x_data)
+        x = jnp.asarray(x_data)
+        self.n_x, self.n_t = x.shape
+        self.n_modes = int(n_modes)
+        a_til, proj, u_r = _dmd_reduce_kernel(
+            x, self.n_modes, int(n_iters), int(cfg.n_oversamples),
+            as_key(key),
+        )
+        self._A = a_til
+        self._u_r = u_r
+        if eig_backend == "device":
+            from corrla_rs_tpu.ops.eig_device import eig_device
+            from corrla_rs_tpu.ops.mat_utils import pinv_comp_parts
+
+            lam_re, lam_im, v_re, v_im = eig_device(a_til)
+            mm = functools.partial(jnp.matmul, precision=PRECISION)
+            self.modes_re = mm(proj, v_re)
+            self.modes_im = mm(proj, v_im)
+            p_re, p_im = pinv_comp_parts(self.modes_re, self.modes_im)
+            self._w_re = lam_re[:, None] * p_re - lam_im[:, None] * p_im
+            self._w_im = lam_re[:, None] * p_im + lam_im[:, None] * p_re
+            both = np.asarray(jnp.stack([lam_re, lam_im]))
+            self.lambdas = both[0] + 1j * both[1]
+            # amplitudes via the real-embedded pinv: b = Phi^+ x0
+            x0 = np.asarray(x[:, 0:1])
+            pr, pi = np.asarray(p_re), np.asarray(p_im)
+            b = (pr + 1j * pi) @ x0
+            self.amplitudes = b[:, 0]
+            return
+        lam, w = eig_host(a_til)
+        self.lambdas = lam
+        mm = functools.partial(jnp.matmul, precision=PRECISION)
+        self.modes_re = mm(proj, jnp.asarray(np.real(w), x.dtype))
+        self.modes_im = mm(proj, jnp.asarray(np.imag(w), x.dtype))
+        both = np.asarray(jnp.stack([self.modes_re, self.modes_im]))
+        phi = both[0] + 1j * both[1]
+        phi_pinv = _pinv_complex_np(phi)
+        wfac = lam[:, None] * phi_pinv
+        self._w_re = jnp.asarray(np.real(wfac), x.dtype)
+        self._w_im = jnp.asarray(np.imag(wfac), x.dtype)
+        self.amplitudes = (phi_pinv @ np.asarray(x[:, 0:1]))[:, 0]
+
+    def eigs_continuous(self, dt: float = 1.0) -> np.ndarray:
+        """Continuous-time eigenvalues log(lambda)/dt: real part = growth
+        rate, imaginary part = angular frequency."""
+        return np.log(self.lambdas.astype(np.complex128)) / float(dt)
+
+    def predict_multiple(self, x_0, n_steps: int,
+                         method: str = "modes") -> jnp.ndarray:
+        """Roll x <- A x for ``n_steps`` from x_0 (n_x, 1); returns
+        (n_x, n_steps), column j = state after j+1 steps.
+
+        method='modes' (default): factored A = Re(Phi Lambda Phi^+),
+        O(n_x r)/step. method='reduced': U_r A~ U_r^T rollout — no host
+        eigendecomposition anywhere in its chain.
+        """
+        x0 = jnp.asarray(x_0)
+        assert x0.shape == (self.n_x, 1)
+        dummy = jnp.zeros((int(n_steps),), x0.dtype)
+        if method == "reduced":
+            mm = functools.partial(jnp.matmul, precision=PRECISION)
+
+            def step(xc, _):
+                xn = mm(self._u_r, mm(self._A, mm(self._u_r.T, xc)))
+                return xn, xn[:, 0]
+
+            _, xs = lax.scan(step, x0, dummy)
+            return xs.T
+        if method != "modes":
+            raise ValueError(
+                f"method must be 'modes' or 'reduced', got {method!r}"
+            )
+        return _rollout_plain(
+            self.modes_re, self.modes_im, self._w_re, self._w_im, x0, dummy
+        )
+
+    def reconstruct(self, n_steps: int | None = None) -> jnp.ndarray:
+        """Best-fit reconstruction of the training trajectory from the
+        fitted spectrum: columns 1..n_steps regenerated from snapshot 0."""
+        n = self.n_t - 1 if n_steps is None else int(n_steps)
+        # training x0 is embedded in the amplitudes; rebuild from modes
+        phi = np.asarray(self.modes_re) + 1j * np.asarray(self.modes_im)
+        ks = np.arange(1, n + 1)
+        lam_pow = self.lambdas[None, :] ** ks[:, None]      # (n, r)
+        states = (lam_pow * self.amplitudes[None, :]) @ phi.T
+        return jnp.asarray(np.real(states).T)

@@ -36,7 +36,7 @@ def register_model_class(cls):
 def _builtin_registry():
     # lazy import to avoid cycles
     from corrla_rs_tpu.models.active_subspaces import FittedActiveSsRsvd
-    from corrla_rs_tpu.models.dmd import DMDc
+    from corrla_rs_tpu.models.dmd import DMD, DMDc
     from corrla_rs_tpu.models.pca import PcaRsvd
     from corrla_rs_tpu.models.pod import PodI
     from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
@@ -51,7 +51,7 @@ def _builtin_registry():
     from corrla_rs_tpu.ops.rvine import RVineCopula
     from corrla_rs_tpu.ops.vine import CVineCopula
 
-    for cls in (PcaRsvd, PodI, DMDc, RbfInterp, FittedActiveSsRsvd,
+    for cls in (PcaRsvd, PodI, DMD, DMDc, RbfInterp, FittedActiveSsRsvd,
                 NormalRv, BetaRv, ExponentialRv, KdeRv,
                 GpRegressor, SparseGpRegressor, GaussianCopula,
                 BivariateCopula, CVineCopula, RVineCopula):

@@ -177,3 +177,63 @@ def test_reduced_rollout_matches_dense():
     assert_mat_approx_eq(red[:, :25], dense[:, :25], 1e-4)
     # and it is accurate vs truth at the reference tolerance
     assert_mat_approx_eq(red[:, 19:20], p[:, 20:21], 5e-2)
+
+
+def _autonomous_fixture(n_x=24, n_t=60):
+    # known linear dynamics: damped rotations + a decaying mode
+    rng = np.random.default_rng(11)
+    q, _ = np.linalg.qr(rng.standard_normal((n_x, n_x)))
+    th1, th2 = 0.35, 0.12
+    blocks = [
+        0.98 * np.array([[np.cos(th1), -np.sin(th1)],
+                         [np.sin(th1), np.cos(th1)]]),
+        0.92 * np.array([[np.cos(th2), -np.sin(th2)],
+                         [np.sin(th2), np.cos(th2)]]),
+        np.diag([0.85]),
+    ]
+    import scipy.linalg as sla
+
+    core = sla.block_diag(*blocks)
+    a_true = q[:, :5] @ core @ q[:, :5].T + 1e-3 * np.eye(n_x)
+    x = np.zeros((n_x, n_t))
+    x[:, 0] = q[:, :5] @ rng.standard_normal(5)
+    for k in range(1, n_t):
+        x[:, k] = a_true @ x[:, k - 1]
+    return x, a_true
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_plain_dmd_recovers_spectrum_and_predicts(backend):
+    from corrla_rs_tpu.models.dmd import DMD
+
+    x, a_true = _autonomous_fixture()
+    m = DMD(jnp.asarray(x), n_modes=5, n_iters=20, eig_backend=backend)
+    # the 5 dynamic eigenvalues of a_true restricted to the trajectory
+    # subspace (the rest of a_true's spectrum is the 1e-3 floor)
+    lam_fit = np.sort_complex(m.lambdas)
+    ref = np.linalg.eigvals(a_true)
+    ref5 = np.sort_complex(ref[np.argsort(-np.abs(ref))[:5]])
+    np.testing.assert_allclose(lam_fit, ref5, atol=1e-6)
+    # rollout continues the trajectory
+    for meth in ("modes", "reduced"):
+        pred = np.asarray(m.predict_multiple(x[:, 0:1], 30, method=meth))
+        np.testing.assert_allclose(
+            pred, x[:, 1:31], atol=1e-6 * np.abs(x).max(), err_msg=meth
+        )
+    # reconstruction matches the training data
+    rec = np.asarray(m.reconstruct())
+    np.testing.assert_allclose(rec, x[:, 1:], atol=1e-6 * np.abs(x).max())
+    # continuous-time eigenvalues: growth rates negative (stable system)
+    ct = m.eigs_continuous(dt=0.1)
+    assert np.all(ct.real < 0)
+
+
+def test_plain_dmd_validates():
+    from corrla_rs_tpu.models.dmd import DMD
+
+    with pytest.raises(ValueError, match="eig_backend"):
+        DMD(jnp.ones((4, 6)), 2, eig_backend="gpu")
+    x, _ = _autonomous_fixture()
+    m = DMD(jnp.asarray(x), 3)
+    with pytest.raises(ValueError, match="method"):
+        m.predict_multiple(jnp.asarray(x[:, 0:1]), 5, method="banana")
