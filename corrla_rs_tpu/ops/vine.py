@@ -6,12 +6,14 @@ the vine half (ops/copula.py has the plain Gaussian copula): a C-vine
 pair-copula construction per Aas, Czado, Frigessi & Bakken (2009),
 "Pair-copula constructions of multiple dependence".
 
-Families: gaussian, clayton, gumbel, frank, independent. Fitting inverts
-Kendall's tau per pair (closed form for gaussian/clayton/gumbel, bisection
-on the Debye-function relation for frank) and selects the family by pair
-log-likelihood; conditioning uses the h-functions (conditional CDFs),
-sampling the inverse h-functions (closed form except gumbel, which uses a
-fixed-iteration bisection — jit-friendly, no data-dependent control flow).
+Families: gaussian, clayton, gumbel, frank, independent, the 90/180/270
+rotations of clayton/gumbel, and Student-t on a df grid (t3/t5/t8/t15).
+Fitting inverts Kendall's tau per pair (closed form for the ellipticals
+and clayton/gumbel, bisection on the Debye-function relation for frank)
+and selects the family by AIC; conditioning uses the h-functions
+(conditional CDFs), sampling the inverse h-functions (closed form except
+gumbel and t, which use fixed-iteration bisection — jit-friendly, no
+data-dependent control flow).
 
 TPU-first notes: Kendall's tau is the O(n^2) sign-product mean computed as
 two broadcasted comparisons (VPU); every h/h-inverse/log-pdf is an
@@ -21,6 +23,7 @@ is jittable.
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -40,11 +43,23 @@ BASE_FAMILIES = ("independent", "gaussian", "clayton", "gumbel", "frank")
 # the 180-degree (survival) rotation moves the tail to the opposite
 # corner, and the 90/270 rotations represent NEGATIVE dependence
 # (previously such pairs silently fell back to gaussian/frank).
+#
+# The Student-t family (t3/t5/t8/t15) covers SYMMETRIC dependence with
+# both tails active — the elliptical family the gaussian copula misses
+# (it has zero tail dependence) and the archimedeans can only fake one
+# tail at a time. The degrees of freedom are a discrete grid, the
+# standard practice for tau-inversion fitting: each grid member is a
+# one-parameter (rho) family, and AIC picks the df alongside the family
+# (with a 2-parameter penalty — rho plus the df choice).
 FAMILIES = (
     "independent", "gaussian", "frank",
     "clayton", "clayton90", "clayton180", "clayton270",
     "gumbel", "gumbel90", "gumbel180", "gumbel270",
+    "t3", "t5", "t8", "t15",
 )
+
+# df grid for the Student-t families ("t5" -> nu = 5)
+_T_NU = {"t3": 3.0, "t5": 5.0, "t8": 8.0, "t15": 15.0}
 
 _SQRT2 = math.sqrt(2.0)
 _EPS = 1e-6
@@ -217,6 +232,101 @@ def _frank_hinv(w, v, th):
     return _clip_u(u)
 
 
+# ---------------------------------------------------------------------------
+# Student-t copula (elliptical, symmetric tail dependence in both tails).
+# theta = rho; the degrees of freedom nu are fixed per family ("t5" etc.).
+# All kernels are closed forms in the univariate t CDF/quantile:
+#   logpdf: bivariate-t density over the product of the marginals
+#   h(u|v) = T_{nu+1}( (x - rho y) / sqrt((1-rho^2)(nu+y^2)/(nu+1)) )
+#   (Aas et al. 2009, eq. 10-12), with x = T_nu^{-1}(u), y = T_nu^{-1}(v)
+# ---------------------------------------------------------------------------
+
+def _t_cdf(x, nu):
+    """Student-t CDF via the regularized incomplete beta function.
+
+    Two algebraically identical forms of the tail mass P(T > |x|), picked
+    by region: I_z(nu/2, 1/2) with z = nu/(nu+x^2) is accurate in the
+    tails but z rounds to 1.0 for |x| < ~sqrt(eps*nu), flattening the CDF
+    around the median (which stalls the ppf bisection there); the
+    complementary identity I_z(a,b) = 1 - I_{1-z}(b,a) with
+    1-z = x^2/(nu+x^2) computed directly (no cancellation) resolves the
+    center down to machine precision.
+    """
+    x2 = x * x
+    z = nu / (nu + x2)
+    w = x2 / (nu + x2)
+    tail_far = 0.5 * jax.scipy.special.betainc(nu / 2.0, 0.5, z)
+    tail_near = 0.5 * (1.0 - jax.scipy.special.betainc(0.5, nu / 2.0, w))
+    tail = jnp.where(x2 > nu, tail_far, tail_near)
+    return jnp.where(x >= 0, 1.0 - tail, tail)
+
+
+def _t_logpdf_uni(x, nu):
+    return (
+        jax.scipy.special.gammaln((nu + 1.0) / 2.0)
+        - jax.scipy.special.gammaln(nu / 2.0)
+        - 0.5 * jnp.log(nu * math.pi)
+        - (nu + 1.0) / 2.0 * jnp.log1p(x * x / nu)
+    )
+
+
+# Quantile: fixed-iteration bisection (jit/vmap-safe, no data-dependent
+# control flow). The bracket covers T_3^{-1}(1e-6) ~ -72 with huge margin;
+# 64 halvings of [-1e3, 1e3] resolve x to ~1e-16 absolute. The custom JVP
+# supplies the exact implicit-function derivative d ppf/du = 1/pdf(ppf)
+# so the copula kernels stay differentiable despite the bisection.
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _t_ppf(u, nu):
+    u = _clip_u(u)
+    lo = jnp.full_like(u, -1e3)
+    hi = jnp.full_like(u, 1e3)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        too_big = _t_cdf(mid, nu) > u
+        hi = jnp.where(too_big, mid, hi)
+        lo = jnp.where(too_big, lo, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 64, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+@_t_ppf.defjvp
+def _t_ppf_jvp(nu, primals, tangents):
+    (u,) = primals
+    (du,) = tangents
+    x = _t_ppf(u, nu)
+    return x, du / jnp.exp(_t_logpdf_uni(x, nu))
+
+
+def _t_logpdf(u, v, rho, nu):
+    x, y = _t_ppf(u, nu), _t_ppf(v, nu)
+    r2 = rho * rho
+    q = (x * x - 2.0 * rho * x * y + y * y) / (1.0 - r2)
+    gl = jax.scipy.special.gammaln
+    return (
+        gl((nu + 2.0) / 2.0) + gl(nu / 2.0) - 2.0 * gl((nu + 1.0) / 2.0)
+        - 0.5 * jnp.log(1.0 - r2)
+        - (nu + 2.0) / 2.0 * jnp.log1p(q / nu)
+        + (nu + 1.0) / 2.0 * (jnp.log1p(x * x / nu) + jnp.log1p(y * y / nu))
+    )
+
+
+def _t_h(u, v, rho, nu):
+    x, y = _t_ppf(u, nu), _t_ppf(v, nu)
+    scale = jnp.sqrt((1.0 - rho * rho) * (nu + y * y) / (nu + 1.0))
+    return _t_cdf((x - rho * y) / scale, nu + 1.0)
+
+
+def _t_hinv(w, v, rho, nu):
+    y = _t_ppf(v, nu)
+    scale = jnp.sqrt((1.0 - rho * rho) * (nu + y * y) / (nu + 1.0))
+    x = _t_ppf(w, nu + 1.0) * scale + rho * y
+    return _t_cdf(x, nu)
+
+
 def _debye1(t, n_grid: int = 200):
     """D1(t) = (1/t) int_0^t x/(e^x - 1) dx via fixed trapezoid grid."""
     xs = jnp.linspace(1e-8, 1.0, n_grid) * t
@@ -316,6 +426,17 @@ def _install_rotations():
 _install_rotations()
 
 
+def _install_t_families():
+    """Register the Student-t grid families ("t3".."t15", theta = rho)."""
+    for name, nu in _T_NU.items():
+        _H[name] = functools.partial(_t_h, nu=nu)
+        _HINV[name] = functools.partial(_t_hinv, nu=nu)
+        _LOGPDF[name] = functools.partial(_t_logpdf, nu=nu)
+
+
+_install_t_families()
+
+
 def _split_rotation(family: str):
     """('clayton270') -> ('clayton', 270); base families -> (fam, 0)."""
     for rot in (90, 180, 270):
@@ -330,7 +451,8 @@ def _theta_from_tau(family: str, tau: float):
     t = float(tau)
     if rot in (90, 270):
         t = -t  # the rotation's tau is the negated base tau
-    if base == "gaussian":
+    if base == "gaussian" or base in _T_NU:
+        # ellipticals share tau = (2/pi) arcsin(rho)
         return math.sin(math.pi * t / 2.0)
     if base == "clayton":
         # clayton models positive dependence; clamp away from 0
@@ -380,7 +502,10 @@ def _fit_pair(u, v, families=FAMILIES):
         if not _family_admissible(fam, tau):
             continue
         th = _theta_from_tau(fam, tau)
-        ll = float(jnp.sum(_LOGPDF[fam](u, v, th))) - 1.0
+        # AIC penalty of k nats: 1 for the one-parameter families, 2 for
+        # the Student-t grid (rho plus the df picked by the selection)
+        k = 2.0 if _split_rotation(fam)[0] in _T_NU else 1.0
+        ll = float(jnp.sum(_LOGPDF[fam](u, v, th))) - k
         if ll > best[1]:
             best = (fam, ll, th)
     return best[0], best[2], tau

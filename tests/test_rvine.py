@@ -115,7 +115,10 @@ def test_rvine_recovers_markov_chain_structure(rng):
     t1 = {frozenset((a, b)) for (a, b, _c, _f, _t) in m.trees[0]}
     assert t1 == {frozenset((0, 1)), frozenset((1, 2)), frozenset((2, 3))}
     for (_a, _b, _c, fam, _th) in m.trees[0]:
-        assert fam == "gaussian"
+        # the near-gaussian Student-t grid members (nu >= 8) can
+        # legitimately edge out gaussian by AIC on n=1500 rank-transformed
+        # gaussian data; any of the three is a correct elliptical call
+        assert fam in ("gaussian", "t8", "t15"), fam
     # deeper trees: conditional independence detected
     for lvl in m.trees[1:]:
         for (_a, _b, _c, fam, _th) in lvl:

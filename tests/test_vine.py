@@ -14,7 +14,8 @@ from corrla_rs_tpu.ops.vine import (
 )
 
 PARAMS = {"gaussian": 0.6, "clayton": 2.0, "gumbel": 2.0, "frank": 4.0,
-          "independent": 0.0}
+          "independent": 0.0,
+          "t3": 0.6, "t5": 0.6, "t8": 0.6, "t15": 0.6}
 
 
 def test_hinv_roundtrip_all_families(rng):
@@ -35,7 +36,7 @@ def test_pdf_is_derivative_of_h(rng):
     u = jnp.asarray(rng.uniform(0.05, 0.95, 300))
     v = jnp.asarray(rng.uniform(0.05, 0.95, 300))
     eps = 1e-6
-    for fam in ("gaussian", "clayton", "gumbel", "frank"):
+    for fam in ("gaussian", "clayton", "gumbel", "frank", "t5"):
         th = PARAMS[fam]
         dh = (_H[fam](u + eps, v, th) - _H[fam](u - eps, v, th)) / (2 * eps)
         c = jnp.exp(_LOGPDF[fam](u, v, th))
@@ -104,3 +105,53 @@ def test_vine_independent_or_negligible(rng):
     vc2 = CVineCopula().fit(xi)
     fam2, th2 = vc2.pairs[0][0]
     assert fam2 == "independent" or abs(th2) < 0.1, (fam2, th2)
+
+
+def test_t_ppf_cdf_match_scipy():
+    from scipy import stats
+
+    from corrla_rs_tpu.ops.vine import _t_cdf, _t_ppf
+
+    u = jnp.asarray(np.linspace(0.001, 0.999, 57))
+    for nu in (3.0, 5.0, 8.0, 15.0, 16.0):  # 16 = nu+1 used inside h
+        x = np.asarray(_t_ppf(u, nu))
+        np.testing.assert_allclose(x, stats.t.ppf(np.asarray(u), nu),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(_t_cdf(jnp.asarray(x), nu)),
+                                   np.asarray(u), rtol=0, atol=1e-12)
+
+
+def test_t_ppf_gradient_is_implicit_derivative():
+    # custom JVP: d ppf/du = 1 / pdf(ppf(u)) — check against central diff
+    import jax
+
+    from corrla_rs_tpu.ops.vine import _t_ppf
+
+    g = jax.grad(lambda u: _t_ppf(u, 5.0))
+    for u0 in (0.1, 0.37, 0.5, 0.92):
+        eps = 1e-6
+        fd = (float(_t_ppf(jnp.asarray(u0 + eps), 5.0))
+              - float(_t_ppf(jnp.asarray(u0 - eps), 5.0))) / (2 * eps)
+        assert abs(float(g(jnp.asarray(u0))) - fd) < 1e-4 * max(abs(fd), 1.0)
+
+
+def test_vine_recovers_t_pair(rng):
+    # bivariate t_3 has symmetric tail dependence in BOTH tails — gaussian
+    # (zero tail dependence) and the one-tail archimedeans should lose the
+    # AIC race to the t grid on strongly tail-dependent elliptical data
+    from corrla_rs_tpu.ops.vine import _split_rotation, _t_cdf
+
+    nu, rho, n = 3.0, 0.5, 4000
+    z = rng.standard_normal((n, 2)) @ np.linalg.cholesky(
+        np.array([[1.0, rho], [rho, 1.0]])).T
+    w = rng.chisquare(nu, size=(n, 1))
+    t_xy = z / np.sqrt(w / nu)
+    u = np.asarray(_t_cdf(jnp.asarray(t_xy), nu))
+    vc = CVineCopula().fit(u)
+    fam, th = vc.pairs[0][0]
+    assert _split_rotation(fam)[0] in ("t3", "t5"), (fam, th)
+    assert abs(th - rho) < 0.1, (fam, th)
+    # tau round-trips through sampling
+    s = np.asarray(vc.sample(4000, key=11))
+    tau_true = 2.0 / np.pi * np.arcsin(rho)
+    assert abs(float(kendall_tau(s[:, 0], s[:, 1])) - tau_true) < 0.06
