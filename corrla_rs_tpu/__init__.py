@@ -79,6 +79,7 @@ from corrla_rs_tpu.ops.random_svd import (
 from corrla_rs_tpu.ops.samplers import DeMcSampler, constr_dirichlet_sample
 from corrla_rs_tpu.ops.streaming import (
     RowBlockSource,
+    streamed_dmdc,
     streamed_hosvd,
     streamed_pca,
     streamed_pod,
@@ -170,6 +171,7 @@ __all__ = [
     "streamed_single_pass_svd",
     "streamed_pca",
     "streamed_pod",
+    "streamed_dmdc",
     "streamed_hosvd",
     "gelman_rubin",
     "rank_normalized_rhat",

@@ -60,6 +60,7 @@ __all__ = [
     "streamed_gram",
     "streamed_pca",
     "streamed_pod",
+    "streamed_dmdc",
     "streamed_hosvd",
 ]
 
@@ -799,4 +800,158 @@ def streamed_pod(x, t, n_modes: int, block_cols: int | None = None):
     model.modes = modes
     model.mode_weights = weights
     model._rbf_coeffs = rbf_fit(t, weights, "linear", 1.0, 1)
+    return model
+
+
+@jax.jit
+def _acc_time_gram(h, blk):
+    """H += X_b^T X_b for a spatial (row) chunk of the (n_x, n_t)
+    snapshot matrix — zero-padded rows contribute nothing."""
+    return h + jnp.matmul(blk.T, blk, precision=PRECISION)
+
+
+@jax.jit
+def _dmdc_tall_chunk(blk, v_in_s, v_out_s, k_mat):
+    """Per-block tall factors: rows of U_hat = X' V_hat S_hat^-1 and of
+    the mode prefactor X' V~ S~^-1 (U~1^T U_hat)."""
+    xp = blk[:, 1:]
+    u_hat_blk = jnp.matmul(xp, v_out_s, precision=PRECISION)
+    tm_blk = jnp.matmul(
+        jnp.matmul(xp, v_in_s, precision=PRECISION), k_mat,
+        precision=PRECISION,
+    )
+    return u_hat_blk, tm_blk
+
+
+def _top_eigh_desc(g, r, dtype):
+    """(sigma, V) of the top-r singular structure from an eigh of the
+    (m, m) Gram, descending, with a RELATIVE rank cutoff on the inverse:
+    directions below ~sqrt(eps)*sigma_max are numerically unresolved by
+    the squared Gram and their 1/sigma would amplify rounding junk into
+    the reduced operators (same failure class as _chol_qr_cols)."""
+    lam, v = jnp.linalg.eigh(g)
+    lam = lam[::-1][:r]
+    v = v[:, ::-1][:, :r]
+    sig = jnp.sqrt(jnp.maximum(lam, jnp.asarray(0.0, dtype)))
+    cut = (1e-7 if dtype == jnp.float64 else 1e-4) * jnp.max(sig)
+    sig_inv = jnp.where(sig > cut, 1.0 / jnp.maximum(sig, 1e-300), 0.0)
+    return sig, sig_inv, v
+
+
+def streamed_dmdc(x, u, n_modes: int, block_rows: int | None = None,
+                  dt: float | None = None):
+    """Out-of-core DMDc: state dimensions larger than device memory, via
+    the method of snapshots. Completes the streaming ROM family
+    (streamed_pca / streamed_pod / streamed_hosvd) for the controlled-
+    dynamics model (reference dmd_rom.rs:20-225, whose only scale limit
+    is host RAM).
+
+    x: (n_x, n_t) snapshot columns with n_x huge — any object supporting
+    ROW slices ``x[lo:hi]`` (numpy array, ``np.memmap``, HDF5 dataset,
+    ``RowBlockSource``...). u: (n_u, n_t) control columns — small, in
+    memory. Row chunks stream host->device exactly TWICE:
+
+    - pass 1 accumulates the small time-axis Gram H = X^T X
+      (n_t, n_t) on device. Every reduced quantity of the Proctor/
+      Brunton/Kutz algebra is a submatrix function of H: the input-space
+      Gram is Omega^T Omega = H[:-1, :-1] + U1^T U1, the output-space
+      Gram is H[1:, 1:], and the cross term X1^T X' = H[:-1, 1:], so
+      both SVDs (via eigh of the Grams) and A~ (eq. 29) / B~ (eq. 30)
+      cost no further passes;
+    - pass 2 assembles the tall factors chunk-by-chunk: U_hat
+      (n_x, r), the eq. 36 mode prefactor (n_x, r), and B = U_hat B~.
+      These (n_x, r) factors must fit on device — the same bound as the
+      fitted model itself.
+
+    Returns a fitted ``models.dmd.DMDc`` (same predict surface). The
+    snapshot SVDs here are EXACT (deterministic Gram eigh — no sketch),
+    so at equal n_modes the fit is at least as accurate as the in-memory
+    randomized path; singular directions below ~sqrt(eps)*sigma_max are
+    unresolvable through the squared Gram and are rank-cut out of the
+    reduced operators (the randomized path resolves them — at these
+    scales they carry no signal).
+    """
+    from corrla_rs_tpu.models.dmd import DMDc, _dmdc_modes_kernel, \
+        _pinv_complex_np
+    from corrla_rs_tpu.ops.eig import eig_host
+    from corrla_rs_tpu.utils.config import DmdConfig
+
+    shape, dtype = _source_meta(x)
+    if len(shape) != 2:
+        raise ValueError(f"x must be 2-D (n_x, n_t), got {shape}")
+    n_x, n_t = shape
+    u = jnp.asarray(u)
+    if u.ndim != 2 or u.shape[1] != n_t:
+        raise ValueError(
+            f"u must be (n_u, n_t={n_t}), got {tuple(u.shape)}"
+        )
+    n_u = u.shape[0]
+    m = n_t - 1
+    r = min(int(n_modes), m)
+    if block_rows is None:
+        block_rows = _default_block_rows(n_x, n_t, dtype)
+
+    # pass 1: time-axis Gram
+    h = _stream_accumulate(
+        x, n_x, block_rows, jnp.zeros((n_t, n_t), dtype),
+        lambda acc, blk, _i: _acc_time_gram(acc, blk),
+    )
+
+    # reduced algebra — all (m, m)-sized or smaller, on device
+    u1 = u[:, :m].astype(dtype)
+    g_in = h[:m, :m] + jnp.matmul(u1.T, u1, precision=PRECISION)
+    g_out = h[1:, 1:]
+    cross = h[:m, 1:]                      # X1^T X'
+    s_in, s_in_inv, v_in = _top_eigh_desc(g_in, r, dtype)
+    s_out, s_out_inv, v_out = _top_eigh_desc(g_out, r, dtype)
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+    v_in_s = v_in * s_in_inv[None, :]      # V~ S~^-1   (m, r)
+    v_out_s = v_out * s_out_inv[None, :]   # V^ S^^-1   (m, r)
+    # U~1^T U_hat = S~^-1 V~^T (X1^T X') V^ S^^-1    (r, r)
+    k_mat = mm(mm(v_in_s.T, cross), v_out_s)
+    # U_hat^T X' V~ S~^-1 = S^ V^^T V~ S~^-1         (r, r)
+    tmp_op_scale = s_out[:, None] * mm(v_out.T, v_in_s)
+    a_til = mm(tmp_op_scale, k_mat)                      # eq. 29
+    u_til_2 = mm(u1, v_in_s)                             # (n_u, r)
+    b_til = mm(tmp_op_scale, u_til_2.T)                  # eq. 30
+
+    # pass 2: tall factors
+    def tall_step(acc, blk, _i):
+        uh_blocks, tm_blocks = acc
+        uh_blk, tm_blk = _dmdc_tall_chunk(blk, v_in_s, v_out_s, k_mat)
+        return uh_blocks + [uh_blk], tm_blocks + [tm_blk]
+
+    uh_blocks, tm_blocks = _stream_accumulate(
+        x, n_x, block_rows, ([], []), tall_step
+    )
+    u_hat = jnp.concatenate(uh_blocks, axis=0)[:n_x]
+    tmp_modes_scale = jnp.concatenate(tm_blocks, axis=0)[:n_x]
+    b_op = mm(u_hat, b_til)
+
+    # host r x r eigensolve + eq. 36 modes (same chain as the DMDc
+    # constructor's host path)
+    lam, w = eig_host(a_til)
+    modes_re, modes_im = _dmdc_modes_kernel(
+        tmp_modes_scale,
+        jnp.asarray(np.real(w), dtype),
+        jnp.asarray(np.imag(w), dtype),
+    )
+
+    model = DMDc.__new__(DMDc)
+    model.n_snapshots = n_t
+    model.n_x = n_x
+    model.n_u = n_u
+    model.n_modes = r
+    model.dt_snapshots = float(dt if dt is not None else DmdConfig().dt)
+    model._A = a_til
+    model._B = b_op
+    model._u_hat = u_hat
+    model.lambdas = lam
+    model.modes_re, model.modes_im = modes_re, modes_im
+    model._a_full = None
+    both = np.asarray(jnp.stack([modes_re, modes_im]))
+    phi = both[0] + 1j * both[1]
+    wfac = lam[:, None] * _pinv_complex_np(phi)
+    model._w_re = jnp.asarray(np.real(wfac), dtype)
+    model._w_im = jnp.asarray(np.imag(wfac), dtype)
     return model

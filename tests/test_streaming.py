@@ -279,3 +279,91 @@ def test_streamed_pod_validates(rng):
         streamed_pod(rng.standard_normal((4, 5, 6)), np.zeros((4, 1)), 2)
     with pytest.raises(ValueError, match="match"):
         streamed_pod(rng.standard_normal((4, 50)), np.zeros((3, 1)), 2)
+
+
+def test_streamed_dmdc_matches_in_memory():
+    from corrla_rs_tpu.models.dmd import DMDc
+    from corrla_rs_tpu.ops.mat_utils import mat_linspace
+    from corrla_rs_tpu.ops.streaming import streamed_dmdc
+    from corrla_rs_tpu.utils.checkpoint import load_model, save_model
+
+    # forced sine field (the reference DMDc fixture family,
+    # dmd_rom.rs:243-267) on a 400-point grid
+    nx, nt = 400, 40
+    xg = np.asarray(mat_linspace(0.0, 10.0, nx)[:, 0])
+    tg = np.asarray(mat_linspace(0.0, 10.0, nt)[:, 0])
+    u = np.exp(0.2 * tg)[None, :]
+    p = np.sin(xg[:, None] + 0.2 * tg[None, :]) * u
+
+    ref = DMDc(jnp.asarray(p), jnp.asarray(u), n_modes=14, n_iters=40)
+    st = streamed_dmdc(p, u, n_modes=14, block_rows=96)
+    assert st.n_x == nx and st.n_u == 1 and st.n_modes == 14
+    assert st._u_hat.shape == (nx, 14)
+
+    # the fixture is rank-~3, so the streamed exact path rank-cuts the
+    # junk directions to exact zeros while the randomized path fills
+    # them with noise eigenvalues; every RESOLVED streamed eigenvalue
+    # must appear in the reference spectrum
+    resolved = st.lambdas[np.abs(st.lambdas) > 1e-6]
+    assert resolved.size >= 2   # the growing oscillation pair at least
+    for lam in resolved:
+        assert np.min(np.abs(ref.lambdas - lam)) < 1e-6, lam
+    # the dominant (growing) pair is present and correct
+    dom = ref.lambdas[np.argmax(np.abs(ref.lambdas))]
+    assert np.min(np.abs(resolved - dom)) < 1e-8
+    # rollouts agree with each other and with the truth (ref tol 5e-2,
+    # dmd_rom.rs:309) in every rollout variant
+    x0 = jnp.asarray(p[:, 0:1])
+    pr = np.asarray(ref.predict_multiple(x0, jnp.asarray(u)))
+    for method in ("dense", "modes", "reduced"):
+        ps = np.asarray(
+            st.predict_multiple(x0, jnp.asarray(u), method=method)
+        )
+        np.testing.assert_allclose(ps[:, 19], pr[:, 19], atol=1e-6)
+        np.testing.assert_allclose(ps[:, 19], p[:, 20], atol=5e-2)
+
+    # the streamed fit is a real DMDc: single-step + checkpoint round-trip
+    one = np.asarray(st.predict(x0, jnp.asarray(u[:, 0:1])))
+    np.testing.assert_allclose(one[:, 0], pr[:, 0], atol=1e-6)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "dmdc.npz")
+        save_model(path, st)
+        st2 = load_model(path)
+        np.testing.assert_allclose(
+            np.asarray(st2.predict_multiple(x0, jnp.asarray(u))),
+            np.asarray(st.predict_multiple(x0, jnp.asarray(u))),
+            atol=1e-10,
+        )
+
+
+def test_streamed_dmdc_generated_source():
+    # RowBlockSource: spatial rows generated on demand — nothing ever
+    # materialized at (n_x, n_t); padding block (nx % block != 0) covered
+    from corrla_rs_tpu.ops.streaming import streamed_dmdc
+
+    nx, nt = 531, 30
+    tg = np.linspace(0.0, 6.0, nt)
+    u = np.exp(0.1 * tg)[None, :]
+
+    def rows(lo, hi):
+        xg = np.linspace(0.0, 10.0, nx)[lo:hi]
+        return np.sin(xg[:, None] + 0.3 * tg[None, :]) * u
+
+    src = RowBlockSource(rows, (nx, nt), np.float64)
+    st = streamed_dmdc(src, u, n_modes=10, block_rows=128)
+    x0 = jnp.asarray(rows(0, nx)[:, 0:1])
+    pred = np.asarray(st.predict_multiple(x0, jnp.asarray(u)))
+    truth = rows(0, nx)
+    np.testing.assert_allclose(pred[:, 14], truth[:, 15], atol=5e-2)
+
+
+def test_streamed_dmdc_validates(rng):
+    from corrla_rs_tpu.ops.streaming import streamed_dmdc
+
+    with pytest.raises(ValueError, match="2-D"):
+        streamed_dmdc(rng.standard_normal((4, 5, 6)), np.zeros((1, 5)), 2)
+    with pytest.raises(ValueError, match="n_t"):
+        streamed_dmdc(rng.standard_normal((40, 30)), np.zeros((1, 29)), 2)
