@@ -79,9 +79,11 @@ from corrla_rs_tpu.ops.random_svd import (
 from corrla_rs_tpu.ops.samplers import DeMcSampler, constr_dirichlet_sample
 from corrla_rs_tpu.ops.streaming import (
     RowBlockSource,
+    streamed_cov,
     streamed_dmdc,
     streamed_hosvd,
     streamed_pca,
+    streamed_pearson_corr,
     streamed_pod,
     streamed_random_svd,
     streamed_single_pass_svd,
@@ -172,6 +174,8 @@ __all__ = [
     "streamed_pca",
     "streamed_pod",
     "streamed_dmdc",
+    "streamed_cov",
+    "streamed_pearson_corr",
     "streamed_hosvd",
     "gelman_rubin",
     "rank_normalized_rhat",

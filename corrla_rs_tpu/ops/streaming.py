@@ -58,6 +58,8 @@ __all__ = [
     "streamed_random_svd",
     "streamed_single_pass_svd",
     "streamed_gram",
+    "streamed_cov",
+    "streamed_pearson_corr",
     "streamed_pca",
     "streamed_pod",
     "streamed_dmdc",
@@ -302,6 +304,31 @@ def streamed_gram(a, block_rows: int | None = None, devices=None):
         g = g + jax.device_put(gd, devices[0])
         s = s + jax.device_put(sd, devices[0])
     return g, s, n
+
+
+def streamed_cov(a, block_rows: int | None = None, devices=None):
+    """Out-of-core sample covariance of columns (``mat_cov_centered``
+    semantics, stats_corr.rs:32-43) in ONE streamed pass: implicit
+    centering off the Gram, cov = (G - s s^T / n) / (n - 1).
+
+    Numerics: single-pass implicit centering cancels catastrophically
+    when |column mean| >> column std (error ~ eps * mean^2/var); for such
+    data pre-shift the source by an approximate mean (any constant shift
+    leaves the covariance unchanged) or stream in f64.
+    """
+    g, s, n = streamed_gram(a, block_rows, devices)
+    return (g - jnp.outer(s, s) / n) / (n - 1.0)
+
+
+def streamed_pearson_corr(a, block_rows: int | None = None, devices=None):
+    """Out-of-core Pearson correlation matrix between columns
+    (``pearson_corr`` semantics, stats_corr.rs:14-28) in ONE streamed
+    pass — the reference's only scale limit is host RAM; this one's is
+    host storage. Same implicit-centering caveat as ``streamed_cov``.
+    """
+    cov = streamed_cov(a, block_rows, devices)
+    d = jnp.sqrt(jnp.diagonal(cov))
+    return cov / jnp.outer(d, d)
 
 
 def streamed_random_svd(

@@ -367,3 +367,42 @@ def test_streamed_dmdc_validates(rng):
         streamed_dmdc(rng.standard_normal((4, 5, 6)), np.zeros((1, 5)), 2)
     with pytest.raises(ValueError, match="n_t"):
         streamed_dmdc(rng.standard_normal((40, 30)), np.zeros((1, 29)), 2)
+
+
+def test_streamed_cov_and_pearson_match_in_memory(rng):
+    from corrla_rs_tpu.ops.stats_corr import mat_cov_centered, pearson_corr
+    from corrla_rs_tpu.ops.streaming import (
+        streamed_cov,
+        streamed_pearson_corr,
+    )
+
+    # correlated columns with nonzero means (exercises the implicit
+    # centering), n not divisible by the block size (padding lane)
+    n, m = 1003, 6
+    base = rng.standard_normal((n, m))
+    base[:, 1] = 0.7 * base[:, 0] + 0.3 * base[:, 1]
+    x = base + np.array([1.0, -2.0, 0.5, 0.0, 3.0, -1.0])[None, :]
+
+    np.testing.assert_allclose(
+        np.asarray(streamed_cov(x, block_rows=256)),
+        np.asarray(mat_cov_centered(jnp.asarray(x))), atol=1e-10,
+    )
+    c_st = np.asarray(streamed_pearson_corr(x, block_rows=256))
+    np.testing.assert_allclose(
+        c_st, np.asarray(pearson_corr(jnp.asarray(x))), atol=1e-10,
+    )
+    np.testing.assert_allclose(np.diag(c_st), np.ones(m), atol=1e-12)
+
+
+def test_streamed_cov_multi_device(rng):
+    import jax
+
+    from corrla_rs_tpu.ops.stats_corr import mat_cov_centered
+    from corrla_rs_tpu.ops.streaming import streamed_cov
+
+    x = rng.standard_normal((800, 5)) + 2.0
+    got = streamed_cov(x, block_rows=128, devices=jax.devices()[:4])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(mat_cov_centered(jnp.asarray(x))),
+        atol=1e-10,
+    )
