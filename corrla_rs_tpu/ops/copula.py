@@ -89,7 +89,7 @@ class BivariateCopula:
     ``GaussianCopula``.
     """
 
-    def __init__(self, family: str = "auto"):
+    def __init__(self, family: str = "auto", refine: bool = False):
         from corrla_rs_tpu.ops.vine import FAMILIES
 
         if family != "auto" and family not in FAMILIES:
@@ -97,10 +97,13 @@ class BivariateCopula:
                 f"family must be 'auto' or one of {FAMILIES}, got {family!r}"
             )
         self.family = family
+        # refine=True: golden-section MLE of theta seeded by tau inversion
+        self.refine = bool(refine)
 
     def fit(self, samples):
         """samples: (n, 2). Rank-transform to uniforms, fit theta by
-        Kendall-tau inversion (family='auto': best AIC across families)."""
+        Kendall-tau inversion (family='auto': best AIC across families);
+        ``refine=True`` then maximizes the log-likelihood over theta."""
         from corrla_rs_tpu.ops import vine as _v
 
         x = jnp.asarray(samples)
@@ -113,7 +116,8 @@ class BivariateCopula:
         ].set(jnp.arange(n)[:, None])
         u = (ranks + 0.5) / n
         if self.family == "auto":
-            fam, theta, tau = _v._fit_pair(u[:, 0], u[:, 1])
+            fam, theta, tau = _v._fit_pair(u[:, 0], u[:, 1],
+                                           refine=self.refine)
         else:
             tau = float(_v.kendall_tau(u[:, 0], u[:, 1]))
             fam = self.family
@@ -128,6 +132,10 @@ class BivariateCopula:
                     f"sign (tau={tau:.3f}); use {hint}"
                 )
             theta = _v._theta_from_tau(fam, tau)
+            if self.refine and fam != "independent":
+                theta = float(_v._mle_refine_kernel(
+                    u[:, 0], u[:, 1], jnp.asarray(float(theta)), fam
+                )[0])
         self.fitted_family, self.theta, self.tau = fam, theta, tau
         self._marginals = jnp.sort(x, axis=0)
         self.n = n

@@ -119,8 +119,12 @@ class RVineCopula:
     ``[(a, b, sorted(cond), family, theta), ...]`` per tree level.
     """
 
-    def __init__(self, families=FAMILIES, truncate_level: int | None = None):
+    def __init__(self, families=FAMILIES, truncate_level: int | None = None,
+                 refine=False):
         self.families = tuple(families)
+        # refine=True: golden-section MLE of each pair's theta seeded by
+        # the tau inversion (sequential MLE, Dissmann et al. 2013 §2.3)
+        self.refine = bool(refine)
         # fit only the first ``truncate_level`` trees (deeper pairs become
         # independence copulas) — the standard truncated-vine economy for
         # high d where deep-tree dependence is noise
@@ -223,7 +227,8 @@ class RVineCopula:
             e.family, e.theta = "independent", 0.0
         else:
             fam, th, _tau = _fit_pair(
-                jnp.asarray(ua), jnp.asarray(ub), families=self.families
+                jnp.asarray(ua), jnp.asarray(ub), families=self.families,
+                refine=self.refine,
             )
             e.family, e.theta = fam, th
         # outgoing pseudo-observations for the next tree; the copula was

@@ -474,10 +474,73 @@ def _family_admissible(family: str, tau: float) -> bool:
     return tau < 0.0
 
 
-def _fit_pair(u, v, families=FAMILIES):
+_GOLDEN = (math.sqrt(5.0) - 1.0) / 2.0
+
+
+def _theta_transform(base: str):
+    """(to_theta, from_theta, span): unconstrained parameterization z of
+    each family's theta domain, plus the golden-section half-bracket
+    width around the tau-inversion initializer (tau inversion is
+    consistent, so the MLE is near it; spans are generous)."""
+    if base == "gaussian" or base in _T_NU:
+        return jnp.tanh, lambda th: jnp.arctanh(jnp.clip(th, -1 + 1e-7,
+                                                         1 - 1e-7)), 1.0
+    if base == "clayton":
+        return jnp.exp, jnp.log, 1.5
+    if base == "gumbel":
+        return (lambda z: 1.0 + jnp.exp(z),
+                lambda th: jnp.log(jnp.maximum(th - 1.0, 1e-8)), 1.5)
+    if base == "frank":
+        return (lambda z: z), (lambda th: th), None  # span set from |z0|
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("fam", "n_steps"))
+def _mle_refine_kernel(u, v, theta0, fam, n_steps=40):
+    """Maximize the pair log-likelihood over theta by golden-section
+    search in the unconstrained z-space, bracketed around the
+    tau-inversion initializer. Derivative-free (no Hessians through
+    betainc/bisection kernels), jit-safe (fixed iteration count), and
+    the 1-D pair NLLs are unimodal in practice. 40 halvings shrink the
+    bracket by 0.618^40 ~ 4e-9. Returns (theta_hat, loglik_hat)."""
+    base, _rot = _split_rotation(fam)
+    to_theta, from_theta, span = _theta_transform(base)
+    logpdf = _LOGPDF[fam]
+
+    def nll(z):
+        return -jnp.sum(logpdf(u, v, to_theta(z)))
+
+    z0 = from_theta(theta0)
+    if span is None:  # frank: theta is unbounded, scale with the init
+        span = jnp.maximum(2.0, 0.6 * jnp.abs(z0))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        c = hi - _GOLDEN * (hi - lo)
+        d = lo + _GOLDEN * (hi - lo)
+        shrink_hi = nll(c) < nll(d)
+        return jnp.where(shrink_hi, lo, c), jnp.where(shrink_hi, d, hi)
+
+    lo, hi = jax.lax.fori_loop(
+        0, n_steps, body, (z0 - span, z0 + span)
+    )
+    z_hat = 0.5 * (lo + hi)
+    # keep the initializer if the search somehow did worse (bracket edge)
+    better = nll(z_hat) < nll(z0)
+    z_hat = jnp.where(better, z_hat, z0)
+    return to_theta(z_hat), -nll(z_hat)
+
+
+def _fit_pair(u, v, families=FAMILIES, refine=False):
     """Fit each family by tau inversion; select by AIC (the one-parameter
     families pay a 1-nat penalty). Rotated clayton/gumbel compete for
     their admissible tau sign (90/270: negative; base/180: positive).
+
+    refine=True additionally maximizes each admissible family's
+    log-likelihood over theta (golden-section MLE seeded by the tau
+    inversion — the standard sequential-MLE vine fit, e.g. Dissmann et
+    al. 2013 §2.3) and selects by the MAXIMIZED AIC, which is its
+    proper definition.
 
     Family selection is preceded by the standard Kendall-tau independence
     test (Dissmann et al. 2013 use exactly this gate before every pair
@@ -502,10 +565,17 @@ def _fit_pair(u, v, families=FAMILIES):
         if not _family_admissible(fam, tau):
             continue
         th = _theta_from_tau(fam, tau)
+        if refine:
+            th_j, ll_raw = _mle_refine_kernel(
+                jnp.asarray(u), jnp.asarray(v), jnp.asarray(float(th)), fam
+            )
+            th, ll_raw = float(th_j), float(ll_raw)
+        else:
+            ll_raw = float(jnp.sum(_LOGPDF[fam](u, v, th)))
         # AIC penalty of k nats: 1 for the one-parameter families, 2 for
         # the Student-t grid (rho plus the df picked by the selection)
         k = 2.0 if _split_rotation(fam)[0] in _T_NU else 1.0
-        ll = float(jnp.sum(_LOGPDF[fam](u, v, th))) - k
+        ll = ll_raw - k
         if ll > best[1]:
             best = (fam, ll, th)
     return best[0], best[2], tau
@@ -525,8 +595,9 @@ class CVineCopula:
     uniform column is inverted through the stored empirical marginal.
     """
 
-    def __init__(self, families=FAMILIES):
+    def __init__(self, families=FAMILIES, refine=False):
         self.families = tuple(families)
+        self.refine = bool(refine)
 
     def fit(self, samples):
         x = jnp.asarray(samples)
@@ -555,7 +626,8 @@ class CVineCopula:
             row = []
             for j in range(t + 1, d):
                 fam, th, _tau = _fit_pair(
-                    v[:, j], v[:, t], families=self.families
+                    v[:, j], v[:, t], families=self.families,
+                    refine=self.refine,
                 )
                 row.append((fam, th))
             self.pairs.append(row)
