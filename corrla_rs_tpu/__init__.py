@@ -50,6 +50,7 @@ from corrla_rs_tpu.ops.design import (
     sobol_sample,
 )
 from corrla_rs_tpu.ops.eig import eig, eig_host
+from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
     hosvd,
@@ -177,6 +178,8 @@ __all__ = [
     "streamed_cov",
     "streamed_pearson_corr",
     "streamed_hosvd",
+    "IncrementalSvd",
+    "IncrementalPca",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",
