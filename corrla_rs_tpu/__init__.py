@@ -50,6 +50,7 @@ from corrla_rs_tpu.ops.design import (
     sobol_sample,
 )
 from corrla_rs_tpu.ops.eig import eig, eig_host
+from corrla_rs_tpu.models.online_dmd import OnlineDmd
 from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
@@ -180,6 +181,7 @@ __all__ = [
     "streamed_hosvd",
     "IncrementalSvd",
     "IncrementalPca",
+    "OnlineDmd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",

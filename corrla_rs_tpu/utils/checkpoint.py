@@ -48,13 +48,16 @@ def _builtin_registry():
         KdeRv,
         NormalRv,
     )
+    from corrla_rs_tpu.models.online_dmd import OnlineDmd
+    from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
     from corrla_rs_tpu.ops.rvine import RVineCopula
     from corrla_rs_tpu.ops.vine import CVineCopula
 
     for cls in (PcaRsvd, PodI, DMD, DMDc, RbfInterp, FittedActiveSsRsvd,
                 NormalRv, BetaRv, ExponentialRv, KdeRv,
                 GpRegressor, SparseGpRegressor, GaussianCopula,
-                BivariateCopula, CVineCopula, RVineCopula):
+                BivariateCopula, CVineCopula, RVineCopula,
+                OnlineDmd, IncrementalSvd, IncrementalPca):
         _REGISTRY.setdefault(cls.__name__, cls)
 
 
