@@ -44,12 +44,22 @@ from corrla_rs_tpu.models.active_subspaces import (
 from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble, rollout_ensemble
 from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
 from corrla_rs_tpu.ops.deim import deim_points, deim_reconstruct
+from corrla_rs_tpu.ops.id_cur import column_id, cur, row_id
+from corrla_rs_tpu.ops.nystrom import nystrom_approx, nystrom_eigh
+from corrla_rs_tpu.ops.tt import (
+    tt_dot,
+    tt_norm,
+    tt_reconstruct,
+    tt_round,
+    tt_svd,
+)
 from corrla_rs_tpu.ops.design import (
     halton_sample,
     latin_hypercube,
     sobol_sample,
 )
 from corrla_rs_tpu.ops.eig import eig, eig_host
+from corrla_rs_tpu.models.edmd import Edmd
 from corrla_rs_tpu.models.online_dmd import OnlineDmd
 from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
 from corrla_rs_tpu.ops.hosvd import (
@@ -161,6 +171,16 @@ __all__ = [
     "saltelli_plan",
     "morris_screening",
     "morris_trajectories",
+    "column_id",
+    "row_id",
+    "cur",
+    "nystrom_eigh",
+    "nystrom_approx",
+    "tt_svd",
+    "tt_reconstruct",
+    "tt_round",
+    "tt_dot",
+    "tt_norm",
     "deim_points",
     "deim_reconstruct",
     "PolynomialChaos",
@@ -182,6 +202,7 @@ __all__ = [
     "IncrementalSvd",
     "IncrementalPca",
     "OnlineDmd",
+    "Edmd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",

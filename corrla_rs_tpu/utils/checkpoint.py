@@ -48,6 +48,7 @@ def _builtin_registry():
         KdeRv,
         NormalRv,
     )
+    from corrla_rs_tpu.models.edmd import Edmd  # noqa: F401 (decorator registers)
     from corrla_rs_tpu.models.online_dmd import OnlineDmd
     from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
     from corrla_rs_tpu.ops.rvine import RVineCopula
