@@ -60,6 +60,7 @@ from corrla_rs_tpu.ops.design import (
 )
 from corrla_rs_tpu.ops.eig import eig, eig_host
 from corrla_rs_tpu.models.edmd import Edmd
+from corrla_rs_tpu.models.kernel_dmd import KernelDmd
 from corrla_rs_tpu.models.online_dmd import OnlineDmd
 from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
 from corrla_rs_tpu.ops.hosvd import (
@@ -203,6 +204,7 @@ __all__ = [
     "IncrementalPca",
     "OnlineDmd",
     "Edmd",
+    "KernelDmd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",

@@ -49,6 +49,7 @@ def _builtin_registry():
         NormalRv,
     )
     from corrla_rs_tpu.models.edmd import Edmd  # noqa: F401 (decorator registers)
+    from corrla_rs_tpu.models.kernel_dmd import KernelDmd  # noqa: F401
     from corrla_rs_tpu.models.online_dmd import OnlineDmd
     from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
     from corrla_rs_tpu.ops.rvine import RVineCopula
