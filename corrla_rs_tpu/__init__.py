@@ -62,6 +62,7 @@ from corrla_rs_tpu.ops.eig import eig, eig_host
 from corrla_rs_tpu.models.edmd import Edmd
 from corrla_rs_tpu.models.kernel_dmd import KernelDmd
 from corrla_rs_tpu.models.online_dmd import OnlineDmd
+from corrla_rs_tpu.models.bop_dmd import BaggedDmd, bagged_dmd
 from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
@@ -205,6 +206,8 @@ __all__ = [
     "OnlineDmd",
     "Edmd",
     "KernelDmd",
+    "BaggedDmd",
+    "bagged_dmd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",
