@@ -437,6 +437,89 @@ def _dmd_reduce_kernel(x_data, n_modes, n_iters, n_oversamples, key):
     return a_til, proj, u_r
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_modes", "n_iters", "n_oversamples")
+)
+def _dmd_reduce_tls(x_data, n_modes, n_iters, n_oversamples, key):
+    """Total-least-squares DMD stage 1 (Hemati et al. 2017) — EXTENSION,
+    no reference analogue (dmd_rom.rs is ordinary-LS only).
+
+    Ordinary LS treats X1 as exact and attributes all noise to X2, which
+    biases the spectrum toward the unit-disk interior. TLS projects both
+    onto a rank-r POD basis of the full snapshot set, then takes the
+    leading left singular subspace of the STACKED [X1r; X2r]: with
+    U_z = [U11; U21], A~ = U21 U11^{-1} is the TLS operator (errors in
+    both variables). The (2r, 2r) subspace comes from one eigh of the
+    stacked Gram — small, on-device, jittable."""
+    x1 = x_data[:, :-1]
+    x2 = x_data[:, 1:]
+    u_pod, _, _ = random_svd(x_data, n_modes, n_iters, n_oversamples,
+                             key=key)
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+    x1r = mm(u_pod.T, x1)
+    x2r = mm(u_pod.T, x2)
+    z = jnp.concatenate([x1r, x2r], axis=0)           # (2r, m-1)
+    g = mm(z, z.T)                                    # (2r, 2r)
+    _, evecs = jnp.linalg.eigh(g)                     # ascending
+    uz = evecs[:, ::-1][:, :n_modes]                  # leading r
+    u11 = uz[:n_modes]
+    u21 = uz[n_modes:]
+    # A~ = U21 U11^{-1}  <=>  A~^T = solve(U11^T, U21^T)
+    a_til = jnp.linalg.solve(u11.T, u21.T).T
+    return a_til, u_pod, u_pod
+
+
+def _sqrtm_db(a, n_steps: int = 30):
+    """Principal matrix square root via the Denman-Beavers iteration:
+    Y <- (Y + Z^{-1})/2, Z <- (Z + Y^{-1})/2 with Y0=A, Z0=I; Y -> A^{1/2}
+    (quadratic convergence for A with no eigenvalue on R^-). Real
+    arithmetic throughout — the principal root of a real matrix with no
+    real-negative eigenvalue is real — so it is jit/vmap-safe on backends
+    with no complex dtypes (this TPU)."""
+    eye = jnp.eye(a.shape[0], dtype=a.dtype)
+
+    def step(_, yz):
+        y, z = yz
+        return 0.5 * (y + jnp.linalg.inv(z)), 0.5 * (z + jnp.linalg.inv(y))
+
+    y, _ = lax.fori_loop(0, n_steps, step, (a, eye))
+    return y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_modes", "n_iters", "n_oversamples")
+)
+def _dmd_reduce_fb(x_data, n_modes, n_iters, n_oversamples, key):
+    """Forward-backward DMD stage 1 (Dawson et al. 2016) — EXTENSION.
+
+    Sensor noise biases the forward LS operator toward the unit-disk
+    interior and the backward one outward; their geometric mean
+    A = (A_f A_b^{-1})^{1/2} cancels the leading-order bias. Both
+    operators are fit in ONE shared POD basis of the full snapshot set
+    (so the product is meaningful), and the square root is the real
+    Denman-Beavers principal root — fully on-device, no complex algebra.
+
+    Branch caveat (inherent to every fb-DMD): the principal root flips
+    eigenvalues of A_f A_b^{-1} that lie on the negative real axis
+    (true lambda ~= +-i); prefer solver='tls' for such spectra."""
+    x1 = x_data[:, :-1]
+    x2 = x_data[:, 1:]
+    u_pod, _, _ = random_svd(x_data, n_modes, n_iters, n_oversamples,
+                             key=key)
+    mm = functools.partial(jnp.matmul, precision=PRECISION)
+    x1r = mm(u_pod.T, x1)
+    x2r = mm(u_pod.T, x2)
+    g11 = mm(x1r, x1r.T)
+    g22 = mm(x2r, x2r.T)
+    g21 = mm(x2r, x1r.T)
+    # forward A_f = G21 G11^{-1}; backward A_b = G21^T G22^{-1}
+    a_f = jnp.linalg.solve(g11.T, g21.T).T
+    a_b = jnp.linalg.solve(g22.T, g21).T
+    # A^2 = A_f A_b^{-1}  <=>  (A^2)^T = solve(A_b^T, A_f^T)
+    a_sq = jnp.linalg.solve(a_b.T, a_f.T).T
+    return _sqrtm_db(a_sq), u_pod, u_pod
+
+
 @jax.jit
 def _rollout_plain(phi_re, phi_im, w_re, w_im, x0, n_ones):
     """x <- Re(Phi Lambda Phi^+) x via the factored form, O(n_x r)/step.
@@ -463,6 +546,14 @@ class DMD:
     eig_backend: 'host' (LAPACK, eager between jitted stages) or
     'device' (ops/eig_device Francis-QR — zero host sync, vmappable).
 
+    solver: 'exact' (Tu et al. 2014 ordinary LS, exact modes),
+    'tls' (total-least-squares operator, Hemati et al. 2017 — errors in
+    both X1 and X2, debiased spectrum under sensor noise) or 'fb'
+    (forward-backward geometric mean, Dawson et al. 2016 — same goal;
+    principal-root branch assumes no eigenvalue of A^2 on R^-, see
+    :func:`_dmd_reduce_fb`). 'tls'/'fb' return PROJECTED modes
+    Phi = U_pod W (the exact-mode prefactor is an OLS construct).
+
     Attributes after fit: ``lambdas`` (complex host array),
     ``modes_re``/``modes_im`` (n_x, r), ``amplitudes`` (complex host —
     b = Phi^+ x_0, the spectral content of the first snapshot).
@@ -471,12 +562,16 @@ class DMD:
     """
 
     def __init__(self, x_data, n_modes: int, n_iters: int = 10, key=0,
-                 eig_backend: str = "host",
+                 eig_backend: str = "host", solver: str = "exact",
                  config: DmdConfig | None = None):
         cfg = config or DmdConfig()
         if eig_backend not in ("host", "device"):
             raise ValueError(
                 f"eig_backend must be 'host' or 'device', got {eig_backend!r}"
+            )
+        if solver not in ("exact", "tls", "fb"):
+            raise ValueError(
+                f"solver must be 'exact', 'tls' or 'fb', got {solver!r}"
             )
         from corrla_rs_tpu.utils.smallpath import maybe_route_small
 
@@ -484,7 +579,13 @@ class DMD:
         x = jnp.asarray(x_data)
         self.n_x, self.n_t = x.shape
         self.n_modes = int(n_modes)
-        a_til, proj, u_r = _dmd_reduce_kernel(
+        self.solver = solver
+        reduce_kernel = {
+            "exact": _dmd_reduce_kernel,
+            "tls": _dmd_reduce_tls,
+            "fb": _dmd_reduce_fb,
+        }[solver]
+        a_til, proj, u_r = reduce_kernel(
             x, self.n_modes, int(n_iters), int(cfg.n_oversamples),
             as_key(key),
         )
