@@ -64,6 +64,8 @@ from corrla_rs_tpu.models.kernel_dmd import KernelDmd
 from corrla_rs_tpu.models.online_dmd import OnlineDmd
 from corrla_rs_tpu.models.bop_dmd import BaggedDmd, bagged_dmd
 from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
+from corrla_rs_tpu.ops.cca import Cca, cca
+from corrla_rs_tpu.ops.pls import PlsRegressor, pls_fit
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
     hosvd,
@@ -208,6 +210,10 @@ __all__ = [
     "KernelDmd",
     "BaggedDmd",
     "bagged_dmd",
+    "Cca",
+    "cca",
+    "PlsRegressor",
+    "pls_fit",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",

@@ -51,6 +51,8 @@ def _builtin_registry():
     from corrla_rs_tpu.models.edmd import Edmd  # noqa: F401 (decorator registers)
     from corrla_rs_tpu.models.kernel_dmd import KernelDmd  # noqa: F401
     from corrla_rs_tpu.models.bop_dmd import BaggedDmd
+    from corrla_rs_tpu.ops.cca import Cca
+    from corrla_rs_tpu.ops.pls import PlsRegressor
     from corrla_rs_tpu.models.online_dmd import OnlineDmd
     from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
     from corrla_rs_tpu.ops.rvine import RVineCopula
@@ -60,7 +62,8 @@ def _builtin_registry():
                 NormalRv, BetaRv, ExponentialRv, KdeRv,
                 GpRegressor, SparseGpRegressor, GaussianCopula,
                 BivariateCopula, CVineCopula, RVineCopula,
-                OnlineDmd, IncrementalSvd, IncrementalPca, BaggedDmd):
+                OnlineDmd, IncrementalSvd, IncrementalPca, BaggedDmd,
+                Cca, PlsRegressor):
         _REGISTRY.setdefault(cls.__name__, cls)
 
 
