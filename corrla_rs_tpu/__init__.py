@@ -66,6 +66,10 @@ from corrla_rs_tpu.models.bop_dmd import BaggedDmd, bagged_dmd
 from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
 from corrla_rs_tpu.ops.cca import Cca, cca
 from corrla_rs_tpu.ops.pls import PlsRegressor, pls_fit
+from corrla_rs_tpu.models.hankel_dmd import HankelDmd, hankel_embed
+from corrla_rs_tpu.models.mrdmd import MrDmd, mrdmd
+from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd, bop_dmd
+from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
     hosvd,
@@ -214,6 +218,15 @@ __all__ = [
     "cca",
     "PlsRegressor",
     "pls_fit",
+    "HankelDmd",
+    "hankel_embed",
+    "MrDmd",
+    "mrdmd",
+    "OptDmd",
+    "BopDmd",
+    "bop_dmd",
+    "Spod",
+    "spod",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",

@@ -419,18 +419,32 @@ _ROLLOUT_FACTORED_BATCHED = jax.jit(jax.vmap(_rollout_factored))
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("n_modes", "n_iters", "n_oversamples")
+    jax.jit, static_argnames=("n_modes", "n_iters", "n_oversamples",
+                              "rank_rtol")
 )
-def _dmd_reduce_kernel(x_data, n_modes, n_iters, n_oversamples, key):
+def _dmd_reduce_kernel(x_data, n_modes, n_iters, n_oversamples, key,
+                       rank_rtol=0.0):
     """Exact DMD stage 1 (Tu et al. 2014): rank-r RSVD of X1 and the
     reduced operator A~ = U^T X2 V S^{-1}; also returns the exact-mode
-    prefactor X2 V S^{-1} (modes Phi = X2 V S^{-1} W)."""
+    prefactor X2 V S^{-1} (modes Phi = X2 V S^{-1} W).
+
+    rank_rtol=0 keeps the reference's eps-pinv of S (dmd_rom.rs parity:
+    near-zero singular values invert to huge factors when the requested
+    rank exceeds the data's numerical rank). rank_rtol>0 zeroes
+    directions with s < rank_rtol * s_max instead; their columns of the
+    operator/modes vanish and they surface as lambda ~= 0 modes —
+    harmless and easy to filter (mrdmd relies on this)."""
     x1 = x_data[:, :-1]
     x2 = x_data[:, 1:]
     u_r, s_r, vt_r = random_svd(x1, n_modes, n_iters, n_oversamples,
                                 key=key)
     v_r = vt_r.T
-    s_inv = pinv_diag(jnp.diag(s_r))
+    if rank_rtol > 0.0:
+        inv = jnp.where(s_r > rank_rtol * s_r[0],
+                        1.0 / jnp.maximum(s_r, 1e-300), 0.0)
+        s_inv = jnp.diag(inv.astype(x_data.dtype))
+    else:
+        s_inv = pinv_diag(jnp.diag(s_r))
     mm = functools.partial(jnp.matmul, precision=PRECISION)
     proj = mm(mm(x2, v_r), s_inv)          # (n_x, r) exact-mode prefactor
     a_til = mm(u_r.T, proj)
@@ -546,6 +560,12 @@ class DMD:
     eig_backend: 'host' (LAPACK, eager between jitted stages) or
     'device' (ops/eig_device Francis-QR — zero host sync, vmappable).
 
+    rank_rtol (solver='exact' only): 0 (default) = reference eps-pinv
+    semantics; > 0 truncates singular values below rank_rtol * s_max so
+    a requested rank beyond the data's numerical rank degrades to inert
+    lambda ~= 0 modes instead of amplifying noise (use on possibly
+    rank-deficient snapshots, e.g. mrDMD window residuals).
+
     solver: 'exact' (Tu et al. 2014 ordinary LS, exact modes),
     'tls' (total-least-squares operator, Hemati et al. 2017 — errors in
     both X1 and X2, debiased spectrum under sensor noise) or 'fb'
@@ -563,6 +583,7 @@ class DMD:
 
     def __init__(self, x_data, n_modes: int, n_iters: int = 10, key=0,
                  eig_backend: str = "host", solver: str = "exact",
+                 rank_rtol: float = 0.0,
                  config: DmdConfig | None = None):
         cfg = config or DmdConfig()
         if eig_backend not in ("host", "device"):
@@ -573,6 +594,11 @@ class DMD:
             raise ValueError(
                 f"solver must be 'exact', 'tls' or 'fb', got {solver!r}"
             )
+        if rank_rtol and solver != "exact":
+            raise ValueError(
+                "rank_rtol is only meaningful for solver='exact' (tls/fb "
+                "regularize through their POD projection instead)"
+            )
         from corrla_rs_tpu.utils.smallpath import maybe_route_small
 
         (x_data,) = maybe_route_small(x_data)
@@ -580,15 +606,18 @@ class DMD:
         self.n_x, self.n_t = x.shape
         self.n_modes = int(n_modes)
         self.solver = solver
-        reduce_kernel = {
-            "exact": _dmd_reduce_kernel,
-            "tls": _dmd_reduce_tls,
-            "fb": _dmd_reduce_fb,
-        }[solver]
-        a_til, proj, u_r = reduce_kernel(
-            x, self.n_modes, int(n_iters), int(cfg.n_oversamples),
-            as_key(key),
-        )
+        if solver == "exact":
+            a_til, proj, u_r = _dmd_reduce_kernel(
+                x, self.n_modes, int(n_iters), int(cfg.n_oversamples),
+                as_key(key), rank_rtol=float(rank_rtol),
+            )
+        else:
+            reduce_kernel = {"tls": _dmd_reduce_tls,
+                             "fb": _dmd_reduce_fb}[solver]
+            a_til, proj, u_r = reduce_kernel(
+                x, self.n_modes, int(n_iters), int(cfg.n_oversamples),
+                as_key(key),
+            )
         self._A = a_til
         self._u_r = u_r
         if eig_backend == "device":

@@ -53,6 +53,10 @@ def _builtin_registry():
     from corrla_rs_tpu.models.bop_dmd import BaggedDmd
     from corrla_rs_tpu.ops.cca import Cca
     from corrla_rs_tpu.ops.pls import PlsRegressor
+    from corrla_rs_tpu.models.hankel_dmd import HankelDmd
+    from corrla_rs_tpu.models.mrdmd import MrDmd
+    from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd
+    from corrla_rs_tpu.models.spod import Spod
     from corrla_rs_tpu.models.online_dmd import OnlineDmd
     from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
     from corrla_rs_tpu.ops.rvine import RVineCopula
@@ -63,7 +67,8 @@ def _builtin_registry():
                 GpRegressor, SparseGpRegressor, GaussianCopula,
                 BivariateCopula, CVineCopula, RVineCopula,
                 OnlineDmd, IncrementalSvd, IncrementalPca, BaggedDmd,
-                Cca, PlsRegressor):
+                Cca, PlsRegressor, HankelDmd, MrDmd, OptDmd, BopDmd,
+                Spod):
         _REGISTRY.setdefault(cls.__name__, cls)
 
 

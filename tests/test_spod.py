@@ -1,0 +1,106 @@
+"""Spectral POD (Towne-Schmidt-Colonius 2018).
+
+EXTENSION tests — the reference's POD (pod_rom.rs) is space-only; these
+pin the frequency-domain decomposition: Welch-PSD parity on one channel
+(exact oracle: for n_x=1 the leading SPOD eigenvalue IS the Welch PSD),
+tonal peak recovery with mode shapes, per-frequency orthonormality, and
+checkpointing.
+"""
+import numpy as np
+import pytest
+
+from corrla_rs_tpu import Spod, spod
+from corrla_rs_tpu.utils.checkpoint import load_model, save_model
+
+
+def test_spod_single_channel_matches_welch_psd(rng):
+    # for one channel the method-of-snapshots Gram is rank 1 and its
+    # eigenvalue is exactly the block-averaged periodogram -> Welch
+    from scipy import signal
+
+    x = rng.standard_normal(4096)
+    x = x + 0.5 * np.sin(2 * np.pi * 0.2 * np.arange(4096))
+    dt = 0.5
+    fit = spod(x[None, :], n_fft=256, overlap=0.5, dt=dt)
+    f_ref, pxx = signal.welch(
+        x - x.mean(), fs=1.0 / dt, window="hann", nperseg=256,
+        noverlap=128, detrend=False, scaling="density",
+    )
+    np.testing.assert_allclose(np.asarray(fit.freqs), f_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fit.energies[:, 0]), pxx,
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_spod_two_tone_peaks_and_mode_shapes(rng):
+    # two on-bin tones with distinct spatial shapes + weak noise
+    n_x, n_t, n_fft = 24, 4096, 128
+    s = np.linspace(0, 1, n_x)
+    t = np.arange(n_t, dtype=float)
+    a1 = np.sin(np.pi * s)
+    a2 = np.cos(2 * np.pi * s)
+    x = (np.outer(a1, np.cos(2 * np.pi * (16 / n_fft) * t))
+         + 0.7 * np.outer(a2, np.sin(2 * np.pi * (32 / n_fft) * t))
+         + 0.01 * rng.standard_normal((n_x, n_t)))
+    fit = spod(x, n_fft=n_fft, overlap=0.5)
+    peaks = fit.peak_frequencies(2)
+    np.testing.assert_allclose(peaks, [16 / n_fft, 32 / n_fft],
+                               atol=1e-12)
+    # leading mode at each tone aligns with its spatial shape
+    for bin_i, shape in ((16, a1), (32, a2)):
+        re, im = fit.mode(bin_i, 0)
+        phi = np.asarray(re) + 1j * np.asarray(im)
+        u = shape / np.linalg.norm(shape)
+        assert np.abs(np.vdot(u, phi)) > 0.999
+        # and dominates the second mode there (noise floor)
+        e = np.asarray(fit.energies[bin_i])
+        assert e[0] > 50 * e[1]
+
+
+def test_spod_orthonormal_and_sorted(rng):
+    x = rng.standard_normal((10, 1024))
+    fit = spod(x, n_fft=64, overlap=0.5, n_modes=5)
+    e = np.asarray(fit.energies)
+    assert e.shape == (33, 5)
+    assert np.all(e >= -1e-12)
+    assert np.all(np.diff(e, axis=1) <= 1e-10)  # descending in j
+    for bin_i in (3, 17, 30):
+        phi = (np.asarray(fit.modes_re[bin_i])
+               + 1j * np.asarray(fit.modes_im[bin_i]))
+        gram = phi.conj().T @ phi
+        np.testing.assert_allclose(gram, np.eye(5), atol=1e-8)
+
+
+def test_spod_energy_accounts_for_variance(rng):
+    # integral of the modal spectra ~ total variance (Welch-consistent
+    # to within windowing bias on broadband data)
+    x = rng.standard_normal((6, 8192))
+    dt = 1.0
+    fit = spod(x, n_fft=128, overlap=0.5, dt=dt)
+    df = 1.0 / (128 * dt)
+    total = float(np.sum(np.asarray(fit.energies))) * df
+    var = float(np.sum(np.var(x, axis=1)))
+    assert abs(total - var) / var < 0.1
+
+
+def test_spod_validation_and_checkpoint(tmp_path, rng):
+    x = rng.standard_normal((4, 300))
+    with pytest.raises(ValueError, match="n_fft"):
+        spod(x, n_fft=2048)
+    with pytest.raises(ValueError, match="overlap"):
+        spod(x, n_fft=64, overlap=1.0)
+    with pytest.raises(ValueError, match="window"):
+        spod(x, n_fft=64, window="hamming")
+    with pytest.raises(ValueError, match="blocks"):
+        spod(x[:, :64], n_fft=64)
+    with pytest.raises(ValueError, match="2-d"):
+        spod(x[0], n_fft=64)
+    fit = spod(x, n_fft=64, n_modes=3)
+    assert isinstance(fit, Spod) and fit.n_freq == 33
+    path = str(tmp_path / "spod.npz")
+    save_model(path, fit)
+    fit2 = load_model(path)
+    assert isinstance(fit2, Spod)
+    np.testing.assert_allclose(np.asarray(fit2.energies),
+                               np.asarray(fit.energies), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fit2.modes_re),
+                               np.asarray(fit.modes_re), atol=1e-12)
