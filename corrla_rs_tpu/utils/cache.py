@@ -4,6 +4,13 @@ First compiles on this TPU runtime go through a remote compile service and
 can take minutes for gnarly programs (measured: 375 s for the rejection
 sampler's first call; 79 s for jax.random.dirichlet at 1e6). The persistent
 cache makes every later process start warm.
+
+Note the cpu_aot_loader "machine feature +prefer-no-scatter is not
+supported" warnings printed when entries load on CPU: they are SPURIOUS
+(the compiler records LLVM tuning preferences for this CPU model; the
+loader's feature detector only lists hardware flags) and appear even for
+entries this very process wrote. They do not indicate foreign or corrupt
+entries.
 """
 from __future__ import annotations
 

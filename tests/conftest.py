@@ -15,12 +15,57 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: XLA CPU compiles of QR/SVD kernels dominate
 # test wall-clock; cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from corrla_rs_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+import os  # noqa: E402
+
+# The full suite compiles/loads thousands of XLA:CPU executables in one
+# process; each holds JIT code segments in separate mmaps. At the kernel
+# default vm.max_map_count=65530 the process dies MID-SUITE with
+# "LLVM compilation error: Cannot allocate memory" followed by
+# SIGSEGV/SIGABRT inside a persistent-cache deserialize (measured: ~60k
+# maps right before death; isolation runs pass because they load far
+# fewer executables). Two independent mitigations:
+#  1. raise the limit when we can (root);
+#  2. drop references to compiled executables between test modules so
+#     the map count stays bounded (re-JITs hit the persistent cache).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _cur = int(_f.read())
+    if _cur < 1_000_000:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write("1048576")
+except OSError:
+    pass  # not root / not Linux: fixture below still bounds the maps
+
+if os.environ.get("CORRLA_CACHE_TRACE"):
+    # Debug aid: log every persistent-cache key just before the native
+    # deserialization — after a crash, the LAST line names the entry
+    # being read when the process died.
+    from jax._src import compilation_cache as _cc
+
+    _orig_get = _cc.get_executable_and_time
+
+    def _traced_get(cache_key, *a, **k):
+        with open("/tmp/cache_trace.txt", "a") as f:
+            f.write(f"{cache_key}\n")
+        return _orig_get(cache_key, *a, **k)
+
+    _cc.get_executable_and_time = _traced_get
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_executable_maps():
+    """Release compiled executables after each test module (see the
+    vm.max_map_count note above). Cross-module re-JITs re-trace but
+    reload compiled code from the persistent cache."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
