@@ -70,6 +70,7 @@ from corrla_rs_tpu.models.hankel_dmd import HankelDmd, hankel_embed
 from corrla_rs_tpu.models.mrdmd import MrDmd, mrdmd
 from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd, bop_dmd
 from corrla_rs_tpu.models.spod import Spod, spod
+from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
     hosvd,
@@ -227,6 +228,7 @@ __all__ = [
     "bop_dmd",
     "Spod",
     "spod",
+    "PiDmd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",
