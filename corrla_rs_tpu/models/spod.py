@@ -115,13 +115,17 @@ class Spod:
 
 def spod(x_data, n_fft: int = 128, overlap: float = 0.5,
          dt: float = 1.0, window: str = "hann",
-         n_modes: int | None = None) -> Spod:
+         n_modes: int | None = None, mesh=None) -> Spod:
     """Spectral POD of snapshot columns x_data (n_x, n_t).
 
     n_fft: Welch block length (frequency resolution 1/(n_fft dt));
     overlap: fractional block overlap in [0, 1); dt: sample spacing;
     window: 'hann' or 'boxcar'; n_modes: modes kept per frequency
-    (default: all n_blocks).
+    (default: all n_blocks); mesh: optional 1-D jax.sharding.Mesh —
+    rows of x shard across devices (blocks/DFT/mode-lift stay
+    device-local; only the B x B cross-spectral Grams reduce over the
+    row axis, which GSPMD lowers to one psum per part), so spatial
+    grids larger than one chip's HBM decompose unchanged.
 
     Follows Towne-Schmidt-Colonius 2018 (alg. in sec. 3): mean removal,
     windowed Welch blocks, per-frequency method-of-snapshots
@@ -162,6 +166,10 @@ def spod(x_data, n_fft: int = 128, overlap: float = 0.5,
     # (W = mean squared window) => lambda has PSD units; DC/Nyquist
     # keep the one-sided doubling off
     w_pow = float(np.sum(w_np ** 2))
+    if mesh is not None:
+        from corrla_rs_tpu.parallel.mesh import shard_rows
+
+        x = shard_rows(x, mesh)
     x = x - jnp.mean(x, axis=1, keepdims=True)
     win = jnp.asarray(w_np * np.sqrt(2.0 * float(dt) / w_pow), x.dtype)
 

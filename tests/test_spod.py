@@ -82,6 +82,30 @@ def test_spod_energy_accounts_for_variance(rng):
     assert abs(total - var) / var < 0.1
 
 
+def test_spod_sharded_same_answer(rng):
+    # row-sharded SPOD over the 8-device mesh: identical energies, and
+    # leading modes align at the tonal bins (eigenvectors of noise-floor
+    # eigenvalues are not comparable)
+    from corrla_rs_tpu.parallel.mesh import make_mesh
+
+    n_x, n_t, n_fft = 32, 2048, 128
+    s = np.linspace(0, 1, n_x)
+    t = np.arange(n_t, dtype=float)
+    x = (np.outer(np.sin(np.pi * s), np.cos(2 * np.pi * (16 / n_fft) * t))
+         + 0.01 * rng.standard_normal((n_x, n_t)))
+    single = spod(x, n_fft=n_fft, overlap=0.5, n_modes=4)
+    shard = spod(x, n_fft=n_fft, overlap=0.5, n_modes=4,
+                 mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(shard.energies),
+                               np.asarray(single.energies),
+                               rtol=1e-9, atol=1e-12)
+    p1 = (np.asarray(single.modes_re[16, :, 0])
+          + 1j * np.asarray(single.modes_im[16, :, 0]))
+    p2 = (np.asarray(shard.modes_re[16, :, 0])
+          + 1j * np.asarray(shard.modes_im[16, :, 0]))
+    assert np.abs(np.vdot(p1, p2)) > 1 - 1e-9
+
+
 def test_spod_validation_and_checkpoint(tmp_path, rng):
     x = rng.standard_normal((4, 300))
     with pytest.raises(ValueError, match="n_fft"):
