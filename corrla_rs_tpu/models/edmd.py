@@ -78,15 +78,19 @@ def _rbf_features(x, centers, gamma):
 
 @jax.jit
 def _edmd_fit_kernel(psi_x, psi_y, ridge):
+    """Returns (K, G, C, L): the operator plus the three snapshot Grams
+    G = Psi_x Psi_x^T / c, C = Psi_y Psi_x^T / c, L = Psi_y Psi_y^T / c
+    (unregularized — ResDMD residuals need the true mass matrix)."""
     n_feat, c = psi_x.shape
     mm = functools.partial(jnp.matmul, precision=PRECISION)
     scale = 1.0 / c
     g = mm(psi_x, psi_x.T) * scale
     a = mm(psi_y, psi_x.T) * scale
+    l_ = mm(psi_y, psi_y.T) * scale
     reg = ridge * (jnp.trace(g) / n_feat + 1e-30)
-    g = g + reg * jnp.eye(n_feat, dtype=g.dtype)
+    g_reg = g + reg * jnp.eye(n_feat, dtype=g.dtype)
     # K = A G^{-1}; G symmetric -> K^T = G^{-1} A^T via one solve
-    return jnp.linalg.solve(g, a.T).T
+    return jnp.linalg.solve(g_reg, a.T).T, g, a, l_
 
 
 @functools.partial(jax.jit, static_argnames=("n_upto",))
@@ -183,9 +187,10 @@ class Edmd:
             psi_x = self.lift(x)
             psi_y = self.lift(y)
         self.n_features = int(psi_x.shape[0])
-        self.koopman = _edmd_fit_kernel(
-            psi_x, psi_y, jnp.asarray(self.ridge, x.dtype)
-        )
+        self.koopman, self._gram_g, self._gram_c, self._gram_l = \
+            _edmd_fit_kernel(
+                psi_x, psi_y, jnp.asarray(self.ridge, x.dtype)
+            )
 
         lam, v = eig_host(self.koopman)
         order = np.argsort(-np.abs(lam))
@@ -227,6 +232,47 @@ class Edmd:
         eigenfunction evaluated at each state column (same magnitude-
         sorted order as ``lambdas``)."""
         return self._w @ np.asarray(self.lift(x))
+
+    def residuals(self) -> np.ndarray:
+        """ResDMD relative residuals, one per eigenpair (Colbrook &
+        Townsend 2021/2024): for eigenfunction phi_j with coefficient
+        row u = W[j, :],
+
+          res_j^2 = mean_t |phi_j(x_{t+1}) - lambda_j phi_j(x_t)|^2
+                    / mean_t |phi_j(x_t)|^2
+
+        computed exactly from the stored snapshot Grams (G, C, L) — no
+        re-lifting. EDMD eigenvalues are Galerkin artifacts unless this
+        residual is small ("spectral pollution"); genuine Koopman
+        spectrum has res ~ 0 on invariant subspaces. Order matches
+        ``lambdas``.
+        """
+        g = np.asarray(self._gram_g, np.float64)
+        c_ = np.asarray(self._gram_c, np.float64)
+        l_ = np.asarray(self._gram_l, np.float64)
+        out = np.empty(self._w.shape[0])
+        for j in range(self._w.shape[0]):
+            u = self._w[j, :]
+            lam = self.lambdas[j]
+            uc = np.conj(u)
+
+            def q(m, u=u, uc=uc):
+                return np.dot(u, m @ uc)
+
+            den = np.real(q(g))
+            num = np.real(
+                q(l_) - np.conj(lam) * q(c_) - lam * q(c_.T)
+                + np.abs(lam) ** 2 * q(g)
+            )
+            out[j] = np.sqrt(max(num, 0.0) / max(den, 1e-300))
+        return out
+
+    def validated_spectrum(self, eps: float = 1e-2):
+        """(lambdas, residuals) restricted to eigenpairs with ResDMD
+        residual <= eps — the spectral-pollution filter."""
+        res = self.residuals()
+        keep = res <= float(eps)
+        return self.lambdas[keep], res[keep]
 
     def predict(self, x_0, n_steps: int, relift: bool = False
                 ) -> jnp.ndarray:

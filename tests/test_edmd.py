@@ -169,3 +169,77 @@ def test_validation(rng):
         ed.predict(np.zeros(4), 3)
     with pytest.raises(ValueError, match="rows"):
         ed.lift(rng.standard_normal((5, 2)))
+
+
+def test_resdmd_residuals_small_on_invariant_subspace(rng):
+    # degree-2 poly dictionary on the canonical example: the Koopman-
+    # invariant subspace is fully represented, so EVERY eigenpair that
+    # carries data energy has ~zero residual
+    xs = [
+        _koopman_example(rng.uniform(-1, 1, 2), 30) for _ in range(8)
+    ]
+    x = np.concatenate([s[:, :-1] for s in xs], axis=1)
+    y = np.concatenate([s[:, 1:] for s in xs], axis=1)
+    ed = Edmd(x, dictionary="poly", degree=2, y_data=y)
+    res = ed.residuals()
+    assert res.shape == (ed.n_features,)
+    # the invariant eigenpairs {1, mu, lam, mu^2} have ~zero residual;
+    # the two non-invariant dictionary directions (x1 x2 and x2^2 feed
+    # x1^3, x1^2 x2 outside the dictionary) are correctly flagged
+    for lt in (1.0, MU, LAM, MU ** 2):
+        j = int(np.argmin(np.abs(ed.lambdas - lt)))
+        assert res[j] < 1e-6
+    lams, res_keep = ed.validated_spectrum(1e-6)
+    assert lams.size == 4 and np.all(res_keep < 1e-6)
+    assert np.max(res) > 0.05  # pollution visible
+
+
+def test_resdmd_residuals_match_direct_computation(rng):
+    # guard the Gram algebra: recompute the residual definition
+    # directly from lifted snapshots
+    xs = _koopman_example(rng.uniform(-1, 1, 2), 60)
+    x = xs[:, :-1] + 0.01 * rng.standard_normal((2, 60))
+    y = xs[:, 1:] + 0.01 * rng.standard_normal((2, 60))
+    ed = Edmd(x, dictionary="poly", degree=3, y_data=y)
+    res = ed.residuals()
+    psi_x = np.asarray(ed.lift(np.asarray(x)))
+    psi_y = np.asarray(ed.lift(np.asarray(y)))
+    for j in range(ed.n_features):
+        u = ed._w[j, :]
+        rx = u @ psi_x
+        ry = u @ psi_y
+        num = np.mean(np.abs(ry - ed.lambdas[j] * rx) ** 2)
+        den = np.mean(np.abs(rx) ** 2)
+        # atol floor: the Gram route squares before subtracting, so
+        # near-zero residuals carry ~sqrt(eps) cancellation noise
+        np.testing.assert_allclose(res[j], np.sqrt(num / den),
+                                   rtol=1e-5, atol=5e-7)
+
+
+def test_resdmd_flags_spectral_pollution(rng):
+    # a degree-3 dictionary on NOISY data from the 2-d example: the 4
+    # true eigenvalues keep small residuals, while x2^2/x2^3-type
+    # observables map onto x1^4... OUTSIDE the dictionary -> their
+    # Galerkin eigenvalues are structurally polluted (large residual
+    # regardless of the noise draw); validated_spectrum keeps the
+    # physical set
+    xs = [
+        _koopman_example(rng.uniform(-1, 1, 2), 40) for _ in range(10)
+    ]
+    x = np.concatenate([s[:, :-1] for s in xs], axis=1)
+    y = np.concatenate([s[:, 1:] for s in xs], axis=1)
+    x += 0.002 * rng.standard_normal(x.shape)
+    y += 0.002 * rng.standard_normal(y.shape)
+    ed = Edmd(x, dictionary="poly", degree=3, y_data=y)
+    res = ed.residuals()
+    lam_true = np.array([1.0, MU, LAM, MU ** 2])
+    # residual at the nearest eigenvalue to each true one is small...
+    for lt in lam_true:
+        j = int(np.argmin(np.abs(ed.lambdas - lt)))
+        assert res[j] < 0.05
+    # ...and the dictionary's worst eigenpairs are visibly polluted
+    assert np.max(res) > 0.05
+    lams, _ = ed.validated_spectrum(0.05)
+    for lt in lam_true:
+        assert np.min(np.abs(lams - lt)) < 0.05
+    assert lams.size < ed.n_features
