@@ -1,0 +1,171 @@
+"""Eigensystem Realization Algorithm (ERA) — EXTENSION (no reference
+analogue).
+
+The reference's control-aware ROM is DMDc (dmd_rom.rs), which needs
+FULL STATE snapshots. ERA (Juang & Pappa 1985; the discrete-time
+sibling of balanced POD, see Ma-Ahuja-Rowley 2011) identifies a minimal
+state-space realization (A, B, C) from INPUT-OUTPUT data only — the
+impulse-response (Markov) parameters h_k = C A^k B — which is what an
+experiment or a black-box solver actually provides. The realization is
+balanced: its Hankel singular values rank state directions by
+controllability*observability, giving the principled truncation order.
+
+TPU-first shape: the block-Hankel matrices are ONE gather each
+(an (mo, mc) index grid over the Markov stack — no Python loops), the
+heavy step is a randomized SVD of H0 ((mo q), (mc p)) on the MXU, and
+the realization itself is three small matmuls. Rollouts are lax.scan.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.ops.random_svd import random_svd
+from corrla_rs_tpu.utils.checkpoint import register_model_class
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = ["Era", "era"]
+
+_mm = functools.partial(jnp.matmul, precision=PRECISION)
+
+
+@functools.partial(jax.jit, static_argnames=("mo", "mc", "rank",
+                                             "n_iters", "n_os"))
+def _era_kernel(markov, mo, mc, rank, n_iters, n_os, key):
+    """(a, b, c, hsv) from the Markov stack (n_h, q, p).
+
+    H0[i, j] = h_{i+j}, H1[i, j] = h_{i+j+1} (block indices, one gather
+    each); randomized SVD of H0; balanced realization
+    A = S^-1/2 U^T H1 V S^-1/2, B = S^1/2 V^T E_p, C = E_q^T U S^1/2.
+    """
+    q, p = markov.shape[1], markov.shape[2]
+    idx = jnp.arange(mo)[:, None] + jnp.arange(mc)[None, :]
+    # (mo, mc, q, p) -> (mo q, mc p)
+    h0 = jnp.transpose(markov[idx], (0, 2, 1, 3)).reshape(mo * q, mc * p)
+    h1 = jnp.transpose(markov[idx + 1], (0, 2, 1, 3)).reshape(
+        mo * q, mc * p
+    )
+    u, s, vt = random_svd(h0, rank, n_iters, n_os, key=key)
+    s_ih = 1.0 / jnp.sqrt(jnp.maximum(s, jnp.finfo(s.dtype).tiny))
+    s_h = jnp.sqrt(s)
+    a = (s_ih[:, None] * _mm(_mm(u.T, h1), vt.T)) * s_ih[None, :]
+    b = s_h[:, None] * vt[:, :p]
+    c = u[:q, :] * s_h[None, :]
+    return a, b, c, s
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _lti_rollout(a, b, c, x0, u_seq):
+    """y (n_y, n_t) of x' = A x + B u, y = C x from inputs (n_u, n_t)."""
+    def step(x, u_col):
+        y = _mm(c, x[:, None])[:, 0]
+        x_next = _mm(a, x[:, None])[:, 0] + _mm(b, u_col[:, None])[:, 0]
+        return x_next, y
+
+    _, ys = jax.lax.scan(step, x0, u_seq.T)
+    return ys.T
+
+
+@register_model_class
+class Era:
+    """Balanced state-space realization from impulse-response data
+    (see :func:`era`).
+
+    ``a``/``b``/``c`` — (r, r), (r, n_u), (n_y, r) realization in
+    balanced coordinates; ``hsv`` — Hankel singular values (the order-
+    selection diagnostic: truncate where they fall off); ``lambdas`` —
+    complex host spectrum of A (the identified poles).
+    """
+
+    def impulse_response(self, n_steps: int) -> jnp.ndarray:
+        """(n_steps, n_y, n_u) Markov parameters of the realization:
+        h_0 = C B, h_k = C A^k B."""
+        n = int(n_steps)
+
+        def step(ca, _):
+            return _mm(ca, self.a), _mm(ca, self.b)
+
+        _, hs = jax.lax.scan(step, self.c, None, length=n)
+        return hs
+
+    def predict(self, u_seq, x0=None) -> jnp.ndarray:
+        """(n_y, n_t) response to inputs u_seq (n_u, n_t) from initial
+        balanced state x0 (default 0). Convention: y_t = C x_t with
+        x_0 given, x_{t+1} = A x_t + B u_t (so y_0 = C x0 and the
+        first input affects y_1 — matching h_k = C A^{k-1} B... i.e.
+        scipy.signal.dlsim's (A, B, C, 0) semantics)."""
+        u = jnp.asarray(u_seq)
+        if u.ndim == 1:
+            u = u[None, :]
+        if u.shape[0] != self.n_inputs:
+            raise ValueError(
+                f"u_seq must be ({self.n_inputs}, n_t), got {u.shape}"
+            )
+        if x0 is None:
+            x0 = jnp.zeros((self.order,), self.a.dtype)
+        else:
+            x0 = jnp.asarray(x0).reshape(-1)
+            if x0.shape[0] != self.order:
+                raise ValueError(
+                    f"x0 must have {self.order} entries, got {x0.shape}"
+                )
+        return _lti_rollout(self.a, self.b, self.c, x0, u)
+
+
+def era(markov, rank: int, mo: int | None = None, mc: int | None = None,
+        n_iters: int = 10, key=0, n_oversamples: int = 8) -> Era:
+    """ERA fit from Markov parameters.
+
+    markov: (n_h, n_y, n_u) impulse-response stack — ``markov[k]`` is
+    the output response at step k+1 to a unit impulse at step 0
+    (h_{k+1} = C A^k B; the k=0 feedthrough D is NOT part of the
+    Hankel matrix and is identified separately if needed);
+    rank: realization order r (inspect ``hsv`` to choose);
+    mo / mc: block rows / columns of the Hankel matrix (default: split
+    the available n_h as evenly as possible, using all data).
+    """
+    h = jnp.asarray(markov)
+    if h.ndim == 2:
+        h = h[:, :, None] if h.shape[1] != 1 else h[:, None, :]
+    if h.ndim != 3:
+        raise ValueError(
+            f"markov must be (n_h, n_y, n_u), got {np.shape(markov)}"
+        )
+    n_h = int(h.shape[0])
+    if mo is None and mc is None:
+        mo = (n_h + 1) // 2
+        mc = n_h - mo            # mo + mc = n_h; indices reach h[n_h-1]
+    elif mo is None:
+        mc = int(mc)
+        mo = n_h - mc
+    else:
+        mo = int(mo)
+        mc = n_h - mo if mc is None else int(mc)
+    if mo < 1 or mc < 1 or mo + mc > n_h:
+        raise ValueError(
+            f"need mo, mc >= 1 with mo + mc <= n_h = {n_h}; got "
+            f"mo={mo}, mc={mc}"
+        )
+    r = int(rank)
+    q, p = int(h.shape[1]), int(h.shape[2])
+    if not 1 <= r <= min(mo * q, mc * p):
+        raise ValueError(
+            f"rank must be in [1, min(mo*n_y, mc*n_u)] = "
+            f"[1, {min(mo * q, mc * p)}], got {rank}"
+        )
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+    (h,) = maybe_route_small(h)
+    a, b, c, hsv = _era_kernel(h, mo, mc, r, int(n_iters),
+                               int(n_oversamples), as_key(key))
+    out = Era.__new__(Era)
+    out.order = r
+    out.n_outputs, out.n_inputs = q, p
+    out.a, out.b, out.c = a, b, c
+    out.hsv = hsv
+    out.lambdas = np.linalg.eigvals(np.asarray(a, np.float64))
+    return out

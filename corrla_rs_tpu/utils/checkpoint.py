@@ -58,6 +58,7 @@ def _builtin_registry():
     from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd
     from corrla_rs_tpu.models.spod import Spod
     from corrla_rs_tpu.models.pidmd import PiDmd
+    from corrla_rs_tpu.models.era import Era
     from corrla_rs_tpu.models.online_dmd import OnlineDmd
     from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
     from corrla_rs_tpu.ops.rvine import RVineCopula
@@ -69,7 +70,7 @@ def _builtin_registry():
                 BivariateCopula, CVineCopula, RVineCopula,
                 OnlineDmd, IncrementalSvd, IncrementalPca, BaggedDmd,
                 Cca, PlsRegressor, HankelDmd, MrDmd, OptDmd, BopDmd,
-                Spod, PiDmd):
+                Spod, PiDmd, Era):
         _REGISTRY.setdefault(cls.__name__, cls)
 
 

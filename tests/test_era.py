@@ -1,0 +1,108 @@
+"""Eigensystem Realization Algorithm (Juang-Pappa).
+
+EXTENSION tests — the reference's only control-aware ROM (DMDc) needs
+full-state snapshots; ERA identifies a balanced minimal realization
+from input-output impulse data. Oracles: exact pole/Markov recovery on
+a known LTI system and response parity with scipy.signal.dlsim.
+"""
+import numpy as np
+import pytest
+
+from corrla_rs_tpu import Era, era
+from corrla_rs_tpu.utils.checkpoint import load_model, save_model
+
+
+def _siso_system():
+    """Stable 3-state SISO system with known poles."""
+    a = np.array([[0.9, 0.2, 0.0],
+                  [0.0, 0.7, 0.3],
+                  [0.0, 0.0, 0.5]])
+    b = np.array([[1.0], [0.5], [-0.3]])
+    c = np.array([[1.0, -0.4, 0.2]])
+    return a, b, c
+
+
+def _markov(a, b, c, n):
+    hs = np.empty((n, c.shape[0], b.shape[1]))
+    ca = c.copy()
+    for k in range(n):
+        hs[k] = ca @ b
+        ca = ca @ a
+    return hs
+
+
+def test_era_recovers_siso_system():
+    a, b, c = _siso_system()
+    h = _markov(a, b, c, 40)
+    fit = era(h, rank=3)
+    # poles recovered exactly
+    np.testing.assert_allclose(np.sort(fit.lambdas.real),
+                               [0.5, 0.7, 0.9], atol=1e-9)
+    assert np.max(np.abs(fit.lambdas.imag)) < 1e-10
+    # held-out Markov parameters reproduced
+    h_fit = np.asarray(fit.impulse_response(60))
+    h_true = _markov(a, b, c, 60)
+    np.testing.assert_allclose(h_fit, h_true, atol=1e-9)
+    # Hankel singular values: exactly 3 nonzero at f64 scale
+    hsv = np.asarray(fit.hsv)
+    assert hsv[2] > 1e-3
+    assert np.all(np.diff(hsv) <= 1e-12)
+
+
+def test_era_mimo_and_dlsim_parity(rng):
+    # random stable 4-state, 2-in 3-out system
+    q, _ = np.linalg.qr(rng.standard_normal((4, 4)))
+    a = q @ np.diag([0.85, 0.6, -0.4, 0.3]) @ q.T
+    b = rng.standard_normal((4, 2))
+    c = rng.standard_normal((3, 4))
+    h = _markov(a, b, c, 30)
+    fit = era(h, rank=4)
+    np.testing.assert_allclose(
+        np.sort_complex(fit.lambdas), np.sort([0.85, 0.6, -0.4, 0.3]),
+        atol=1e-8)
+    # forced-response parity with scipy.signal.dlsim
+    from scipy import signal
+
+    u = rng.standard_normal((2, 50))
+    y = np.asarray(fit.predict(u))
+    _, y_ref, _ = signal.dlsim(
+        (a, b, c, np.zeros((3, 2)), 1.0), u.T)
+    np.testing.assert_allclose(y, y_ref.T, atol=1e-8)
+
+
+def test_era_truncation_via_hsv(rng):
+    # 5-state system with two dominant Hankel directions: the rank-2
+    # realization matches the full response to the hsv[2] scale
+    a = np.diag([0.9, 0.8, 0.05, 0.03, 0.01])
+    b = np.array([[1.0], [1.0], [0.01], [0.01], [0.01]])
+    c = np.array([[1.0, 1.0, 0.01, 0.01, 0.01]])
+    h = _markov(a, b, c, 40)
+    full = era(h, rank=5)
+    red = era(h, rank=2)
+    hsv = np.asarray(full.hsv)
+    assert hsv[1] / hsv[2] > 100  # clear gap
+    h_red = np.asarray(red.impulse_response(40))
+    np.testing.assert_allclose(h_red, h, atol=10 * float(hsv[2]))
+
+
+def test_era_validation_and_checkpoint(tmp_path):
+    a, b, c = _siso_system()
+    h = _markov(a, b, c, 20)
+    with pytest.raises(ValueError, match="rank"):
+        era(h, rank=0)
+    with pytest.raises(ValueError, match="mo"):
+        era(h, rank=2, mo=25)
+    with pytest.raises(ValueError, match="markov"):
+        era(np.zeros((3, 2, 2, 2)), rank=1)
+    fit = era(h, rank=3)
+    with pytest.raises(ValueError, match="u_seq"):
+        fit.predict(np.zeros((4, 10)))
+    with pytest.raises(ValueError, match="x0"):
+        fit.predict(np.zeros((1, 10)), x0=np.zeros(7))
+    p = str(tmp_path / "era.npz")
+    save_model(p, fit)
+    fit2 = load_model(p)
+    assert isinstance(fit2, Era) and fit2.order == 3
+    u = np.ones((1, 12))
+    np.testing.assert_allclose(np.asarray(fit2.predict(u)),
+                               np.asarray(fit.predict(u)), atol=1e-12)
