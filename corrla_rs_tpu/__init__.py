@@ -71,7 +71,7 @@ from corrla_rs_tpu.models.mrdmd import MrDmd, mrdmd
 from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd, bop_dmd
 from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
-from corrla_rs_tpu.models.era import Era, era
+from corrla_rs_tpu.models.era import Era, era, era_okid, okid
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
     hosvd,
@@ -232,6 +232,8 @@ __all__ = [
     "PiDmd",
     "Era",
     "era",
+    "okid",
+    "era_okid",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",

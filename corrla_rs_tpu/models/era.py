@@ -28,7 +28,7 @@ from corrla_rs_tpu.ops.random_svd import random_svd
 from corrla_rs_tpu.utils.checkpoint import register_model_class
 from corrla_rs_tpu.utils.prng import as_key
 
-__all__ = ["Era", "era"]
+__all__ = ["Era", "era", "okid", "era_okid"]
 
 _mm = functools.partial(jnp.matmul, precision=PRECISION)
 
@@ -113,7 +113,9 @@ class Era:
                 raise ValueError(
                     f"x0 must have {self.order} entries, got {x0.shape}"
                 )
-        return _lti_rollout(self.a, self.b, self.c, x0, u)
+        ys = _lti_rollout(self.a, self.b, self.c, x0, u)
+        d = getattr(self, "d", None)   # feedthrough from era_okid
+        return ys if d is None else ys + _mm(d, u)
 
 
 def era(markov, rank: int, mo: int | None = None, mc: int | None = None,
@@ -169,3 +171,107 @@ def era(markov, rank: int, mo: int | None = None, mc: int | None = None,
     out.hsv = hsv
     out.lambdas = np.linalg.eigvals(np.asarray(a, np.float64))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("l",))
+def _okid_lstsq(u, y, l, ridge):
+    """Observer-Markov least squares: regressor rows for k = l..N-1 are
+    [u_k; v_{k-1}; ...; v_{k-l}] with v_j = [u_j; y_j] — built by one
+    gather over the stacked (p+q, N) record; the normal equations are
+    two MXU matmuls + one (small) solve."""
+    p, n = u.shape
+    q = y.shape[0]
+    uy = jnp.concatenate([u, y], axis=0)              # (p+q, N)
+    cols = jnp.arange(l, n)                           # regression times
+    lags = jnp.arange(1, l + 1)
+    idx = cols[None, :] - lags[:, None]               # (l, n-l)
+    past = uy[:, idx]                                 # (p+q, l, n-l)
+    past = jnp.transpose(past, (1, 0, 2)).reshape(l * (p + q), n - l)
+    v = jnp.concatenate([u[:, l:], past], axis=0)     # (p + l(p+q), n-l)
+    yl = y[:, l:]
+    g = _mm(v, v.T)
+    g = g + ridge * jnp.trace(g) / g.shape[0] * jnp.eye(
+        g.shape[0], dtype=g.dtype
+    )
+    # M = Y V^T G^{-1}; G symmetric
+    return jnp.linalg.solve(g, _mm(v, yl.T)).T        # (q, p + l(p+q))
+
+
+def okid(u_data, y_data, n_markov: int, n_obs: int | None = None,
+         ridge: float = 1e-10):
+    """OKID (Juang-Phan-Horta-Longman 1991): system Markov parameters
+    from an ARBITRARY input-output record — the step that turns
+    operating data into the impulse response :func:`era` needs.
+
+    u_data: (n_u, N) inputs; y_data: (n_y, N) outputs; n_markov: how
+    many system Markov parameters h_1..h_{n_markov} to return; n_obs:
+    observer depth l (default n_markov; the observer adds artificial
+    damping so l only needs to exceed the system's effective memory);
+    ridge: relative Tikhonov weight on the regressor Gram.
+
+    Returns ``(markov, d)``: markov (n_markov, n_y, n_u) with
+    ``markov[k] = h_{k+1} = C A^k B`` (feed directly to :func:`era`)
+    and d (n_y, n_u) the feedthrough.
+    """
+    u = jnp.asarray(u_data)
+    y = jnp.asarray(y_data)
+    if u.ndim == 1:
+        u = u[None, :]
+    if y.ndim == 1:
+        y = y[None, :]
+    if u.ndim != 2 or y.ndim != 2 or u.shape[1] != y.shape[1]:
+        raise ValueError(
+            f"u_data/y_data must be (n_u, N)/(n_y, N) with equal N, "
+            f"got {np.shape(u_data)} / {np.shape(y_data)}"
+        )
+    p, n = int(u.shape[0]), int(u.shape[1])
+    q = int(y.shape[0])
+    l = int(n_markov) if n_obs is None else int(n_obs)
+    if not 1 <= l <= n - 1:
+        raise ValueError(f"n_obs must be in [1, N-1], got {l}")
+    if n - l <= p + l * (p + q):
+        raise ValueError(
+            f"record too short: need N - n_obs > n_u + n_obs*(n_u+n_y) "
+            f"regression columns, got {n - l} <= {p + l * (p + q)}"
+        )
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+    u, y = maybe_route_small(u, y)
+    m = np.asarray(
+        _okid_lstsq(u, y, l, jnp.asarray(ridge, u.dtype)), np.float64
+    )
+    d = m[:, :p]
+    # observer Markov blocks: Mbar_i = [Mbar_i^(1) (q,p), Mbar_i^(2) (q,q)]
+    m1 = np.empty((l, q, p))
+    m2 = np.empty((l, q, q))
+    for i in range(l):
+        blk = m[:, p + i * (p + q): p + (i + 1) * (p + q)]
+        m1[i] = blk[:, :p]
+        m2[i] = blk[:, p:]
+    # recursion: h_k = Mbar_k^(1) + Mbar_k^(2) D + sum_i Mbar_i^(2) h_{k-i}
+    n_h = int(n_markov)
+    h = np.zeros((n_h + 1, q, p))  # h[0] unused (h_0 = D kept separate)
+    for k in range(1, n_h + 1):
+        acc = (m1[k - 1] + m2[k - 1] @ d) if k <= l else np.zeros((q, p))
+        for i in range(1, min(k, l + 1)):
+            if k - i >= 1:
+                acc = acc + m2[i - 1] @ h[k - i]
+        h[k] = acc
+    return h[1:], d
+
+
+def era_okid(u_data, y_data, rank: int, n_markov: int | None = None,
+             n_obs: int | None = None, ridge: float = 1e-10,
+             **era_kwargs) -> Era:
+    """Identify a balanced realization straight from operating data:
+    :func:`okid` -> :func:`era`. The feedthrough lands on ``fit.d``
+    and ``predict`` includes it."""
+    y = np.asarray(y_data)
+    n = y.shape[-1]
+    if n_markov is None:
+        n_markov = max(2, min(n // 4, 200))
+    markov, d = okid(u_data, y_data, int(n_markov), n_obs=n_obs,
+                     ridge=ridge)
+    fit = era(markov, rank, **era_kwargs)
+    fit.d = jnp.asarray(d, fit.a.dtype)
+    return fit

@@ -106,3 +106,72 @@ def test_era_validation_and_checkpoint(tmp_path):
     u = np.ones((1, 12))
     np.testing.assert_allclose(np.asarray(fit2.predict(u)),
                                np.asarray(fit.predict(u)), atol=1e-12)
+
+
+def _simulate(a, b, c, d, u, x0=None):
+    n = u.shape[1]
+    x = np.zeros(a.shape[0]) if x0 is None else np.asarray(x0, float)
+    ys = np.empty((c.shape[0], n))
+    for t in range(n):
+        ys[:, t] = c @ x + d @ u[:, t]
+        x = a @ x + b @ u[:, t]
+    return ys
+
+
+def test_okid_recovers_markov_parameters(rng):
+    a, b, c = _siso_system()
+    d = np.array([[0.7]])
+    u = rng.standard_normal((1, 600))
+    y = _simulate(a, b, c, d, u)
+    from corrla_rs_tpu import okid
+
+    markov, d_est = okid(u, y, n_markov=25, n_obs=12)
+    np.testing.assert_allclose(d_est, d, atol=1e-8)
+    np.testing.assert_allclose(markov, _markov(a, b, c, 25), atol=1e-7)
+
+
+def test_era_okid_end_to_end(rng):
+    # operating data (random input, nonzero feedthrough) -> realization
+    from corrla_rs_tpu import era_okid
+
+    a, b, c = _siso_system()
+    d = np.array([[0.3]])
+    u = rng.standard_normal((1, 800))
+    y = _simulate(a, b, c, d, u)
+    fit = era_okid(u, y, rank=3, n_markov=30, n_obs=15)
+    np.testing.assert_allclose(np.sort(fit.lambdas.real),
+                               [0.5, 0.7, 0.9], atol=1e-6)
+    # held-out input reproduces the response INCLUDING the feedthrough
+    u2 = rng.standard_normal((1, 60))
+    y2 = np.asarray(fit.predict(u2))
+    np.testing.assert_allclose(y2, _simulate(a, b, c, d, u2), atol=1e-6)
+
+
+def test_okid_mimo_noisy(rng):
+    q, _ = np.linalg.qr(rng.standard_normal((4, 4)))
+    a = q @ np.diag([0.8, 0.55, -0.35, 0.2]) @ q.T
+    b = rng.standard_normal((4, 2))
+    c = rng.standard_normal((2, 4))
+    d = np.zeros((2, 2))
+    u = rng.standard_normal((2, 3000))
+    y = _simulate(a, b, c, d, u)
+    y += 1e-4 * rng.standard_normal(y.shape)
+    from corrla_rs_tpu import era_okid
+
+    fit = era_okid(u, y, rank=4, n_markov=30, n_obs=10)
+    np.testing.assert_allclose(
+        np.sort_complex(fit.lambdas),
+        np.sort([0.8, 0.55, -0.35, 0.2]), atol=5e-3)
+
+
+def test_okid_validation(rng):
+    from corrla_rs_tpu import okid
+
+    u = rng.standard_normal((1, 50))
+    y = rng.standard_normal((1, 50))
+    with pytest.raises(ValueError, match="equal N"):
+        okid(u, y[:, :40], 5)
+    with pytest.raises(ValueError, match="n_obs"):
+        okid(u, y, 5, n_obs=0)
+    with pytest.raises(ValueError, match="record too short"):
+        okid(u, y, 20)
