@@ -72,6 +72,7 @@ from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd, bop_dmd
 from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
+from corrla_rs_tpu.ops.spdmd import spdmd
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
     hosvd,
@@ -234,6 +235,7 @@ __all__ = [
     "era",
     "okid",
     "era_okid",
+    "spdmd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",
