@@ -104,6 +104,26 @@ class Spod:
         return (self.modes_re[i_freq, :, j],
                 self.modes_im[i_freq, :, j])
 
+    def energy_interval(self, confidence: float = 0.95):
+        """(lo, hi) multiplicative confidence bounds on ``energies``.
+
+        Each SPOD eigenvalue is a mean over ``n_blocks`` (approximately
+        independent) Welch realizations, so lambda_hat / lambda follows
+        chi2(2 n_blocks) / (2 n_blocks) (Schmidt & Colonius, AIAA J.
+        2020 sec. IV); the returned arrays are energies * factor."""
+        from scipy.stats import chi2
+
+        if not 0.0 < confidence < 1.0:
+            raise ValueError(
+                f"confidence must be in (0, 1), got {confidence}"
+            )
+        a = 1.0 - float(confidence)
+        dof = 2 * self.n_blocks
+        lo = dof / chi2.ppf(1.0 - a / 2.0, dof)
+        hi = dof / chi2.ppf(a / 2.0, dof)
+        e = np.asarray(self.energies)
+        return e * lo, e * hi
+
     def peak_frequencies(self, n_peaks: int = 1) -> np.ndarray:
         """Frequencies of the n_peaks largest leading-mode energies
         (excludes the DC bin)."""

@@ -106,6 +106,24 @@ def test_spod_sharded_same_answer(rng):
     assert np.abs(np.vdot(p1, p2)) > 1 - 1e-9
 
 
+def test_spod_energy_interval(rng):
+    # chi-squared band: brackets the energies, tightens with blocks,
+    # and on white noise the TRUE flat spectrum falls inside the band
+    # at most frequencies
+    x = rng.standard_normal((4, 8192))
+    fit = spod(x, n_fft=128, overlap=0.5, n_modes=1)
+    lo, hi = fit.energy_interval(0.95)
+    e = np.asarray(fit.energies)
+    assert np.all(lo < e) and np.all(e < hi)
+    short = spod(x[:, :1024], n_fft=128, overlap=0.5, n_modes=1)
+    lo_s, hi_s = short.energy_interval(0.95)
+    # fewer blocks -> wider relative band
+    assert (hi_s / np.asarray(short.energies)).mean() > (
+        hi / e).mean()
+    with pytest.raises(ValueError, match="confidence"):
+        fit.energy_interval(1.5)
+
+
 def test_spod_validation_and_checkpoint(tmp_path, rng):
     x = rng.standard_normal((4, 300))
     with pytest.raises(ValueError, match="n_fft"):
