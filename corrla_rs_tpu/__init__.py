@@ -73,6 +73,12 @@ from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
 from corrla_rs_tpu.ops.spdmd import spdmd
+from corrla_rs_tpu.ops.rank_select import (
+    adaptive_random_svd,
+    range_error_estimate,
+    select_rank,
+    svht_threshold,
+)
 from corrla_rs_tpu.ops.hosvd import (
     hooi,
     hosvd,
@@ -236,6 +242,10 @@ __all__ = [
     "okid",
     "era_okid",
     "spdmd",
+    "svht_threshold",
+    "select_rank",
+    "range_error_estimate",
+    "adaptive_random_svd",
     "gelman_rubin",
     "rank_normalized_rhat",
     "effective_sample_size",
