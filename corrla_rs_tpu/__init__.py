@@ -72,6 +72,7 @@ from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd, bop_dmd
 from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
+from corrla_rs_tpu.ops.sketch_solve import sketched_lstsq
 from corrla_rs_tpu.ops.spdmd import spdmd
 from corrla_rs_tpu.ops.rank_select import (
     adaptive_random_svd,
@@ -242,6 +243,7 @@ __all__ = [
     "okid",
     "era_okid",
     "spdmd",
+    "sketched_lstsq",
     "svht_threshold",
     "select_rank",
     "range_error_estimate",
