@@ -73,6 +73,7 @@ from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
 from corrla_rs_tpu.ops.sketch_solve import sketched_lstsq
+from corrla_rs_tpu.ops.trace_est import hutchinson_trace, hutchpp_trace
 from corrla_rs_tpu.ops.spdmd import spdmd
 from corrla_rs_tpu.ops.rank_select import (
     adaptive_random_svd,
@@ -244,6 +245,8 @@ __all__ = [
     "era_okid",
     "spdmd",
     "sketched_lstsq",
+    "hutchinson_trace",
+    "hutchpp_trace",
     "svht_threshold",
     "select_rank",
     "range_error_estimate",
