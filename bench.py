@@ -148,7 +148,40 @@ def bench_headline_rsvd(a, baseline) -> None:
           (baseline / wall) if baseline else None)
 
 
+def _require_live_device(timeout_s: float = 180.0) -> None:
+    """Fail fast (loudly) when the TPU tunnel is dead.
+
+    Device enumeration through the axon tunnel has been observed to
+    hang INDEFINITELY during outages (2026-08-17: >4 h). A hung bench
+    looks like a driver stall; a clear error names the real problem.
+    The probe runs in a daemon thread so a hang cannot block the
+    watchdog."""
+    import sys
+    import threading
+
+    result: list = []
+
+    def probe():
+        try:
+            result.append(len(jax.devices()))
+        except Exception as exc:  # surface init errors as text
+            result.append(f"error: {exc}")
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not result or not isinstance(result[0], int):
+        print(
+            f"bench.py: device backend unavailable "
+            f"({'hang > %.0f s' % timeout_s if not result else result[0]})"
+            " — the axon TPU tunnel is likely down; no metric emitted",
+            file=sys.stderr, flush=True,
+        )
+        raise SystemExit(3)
+
+
 def main():
+    _require_live_device()
     baseline = _read_recorded_baseline()
     bench_dream()
     bench_ensemble_dmdc()
