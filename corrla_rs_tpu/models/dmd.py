@@ -583,8 +583,11 @@ class DMD:
 
     def __init__(self, x_data, n_modes: int, n_iters: int = 10, key=0,
                  eig_backend: str = "host", solver: str = "exact",
-                 rank_rtol: float = 0.0,
-                 config: DmdConfig | None = None):
+                 config: DmdConfig | None = None,
+                 rank_rtol: float = 0.0):
+        # rank_rtol sits AFTER config so pre-existing positional
+        # callers (x, r, iters, key, backend, solver, config) keep
+        # binding config correctly
         cfg = config or DmdConfig()
         if eig_backend not in ("host", "device"):
             raise ValueError(

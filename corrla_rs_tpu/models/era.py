@@ -267,9 +267,18 @@ def era_okid(u_data, y_data, rank: int, n_markov: int | None = None,
     :func:`okid` -> :func:`era`. The feedthrough lands on ``fit.d``
     and ``predict`` includes it."""
     y = np.asarray(y_data)
-    n = y.shape[-1]
+    u_arr = np.atleast_2d(np.asarray(u_data))
+    y2 = np.atleast_2d(y)
+    n = y2.shape[-1]
+    p, q = u_arr.shape[0], y2.shape[0]
+    # okid feasibility: the observer depth l must leave more regression
+    # columns than unknowns, N - l > p + l (p + q)  =>
+    # l < (N - p) / (p + q + 1); keep a 2x margin for a well-posed LS
+    l_max = max(1, (n - p) // (2 * (p + q + 1)))
     if n_markov is None:
-        n_markov = max(2, min(n // 4, 200))
+        n_markov = max(2, min(n // 4, 200, l_max))
+    if n_obs is None:
+        n_obs = min(int(n_markov), l_max)
     markov, d = okid(u_data, y_data, int(n_markov), n_obs=n_obs,
                      ridge=ridge)
     fit = era(markov, rank, **era_kwargs)

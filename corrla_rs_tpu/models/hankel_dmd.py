@@ -41,6 +41,15 @@ def hankel_embed(x_data, n_delays: int):
     """
     n_x, n_t = x_data.shape
     m_h = n_t - n_delays + 1
+    # shapes are static, so these raise at trace time (not silently
+    # returning an (n_x d, 0) matrix for oversized depths)
+    if n_delays < 1:
+        raise ValueError(f"n_delays must be >= 1, got {n_delays}")
+    if m_h < 1:
+        raise ValueError(
+            f"n_delays={n_delays} leaves no embedded columns "
+            f"(n_t={n_t})"
+        )
     idx = jnp.arange(m_h)[None, :] + jnp.arange(n_delays)[:, None]
     h = x_data[:, idx]                       # (n_x, d, m_h)
     return jnp.transpose(h, (1, 0, 2)).reshape(n_delays * n_x, m_h)

@@ -359,6 +359,10 @@ def bop_dmd(x_data, n_modes: int, t=None, dt: float = 1.0,
     if t is None:
         t = np.arange(m, dtype=np.float64) * float(dt)
     t = np.asarray(t, np.float64).reshape(-1)
+    if t.size != m:
+        raise ValueError(f"t must have m={m} entries, got {t.size}")
+    if np.any(np.diff(t) <= 0):
+        raise ValueError("t must be strictly increasing")
 
     u, xp = _project(x, r, int(n_iters), int(n_oversamples), as_key(key))
     u_np = np.asarray(u, np.float64)

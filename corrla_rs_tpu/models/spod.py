@@ -15,13 +15,15 @@ FFT path — but it has an MXU):
   cos/sin bases, (B n_x, n_fft) x (n_fft, n_freq) — pure MXU work,
   no complex arithmetic anywhere on device.
 - Per-frequency SPOD uses the method of snapshots: the B x B Hermitian
-  cross-spectral Gram M = Q^H Q splits into real/imag parts by matmuls,
-  and its eigendecomposition runs as ONE vmapped real eigh of the
-  2B x 2B embedding [[M_re, -M_im], [M_im, M_re]] over all frequencies
-  (the embedding's spectrum is each eigenvalue doubled; eigenvectors
-  are (v_re; v_im) and (-v_im; v_re) — we take one per pair).
-- Mode lift Phi_f = Q_f V_f Lambda_f^{-1/2} is a batched matmul.
-Everything from windowing to modes is a single jit.
+  cross-spectral Grams M = Q^H Q split into real/imag parts by matmuls
+  on device; their eigendecomposition is ONE batched host complex eigh
+  over all frequencies (rank^2-sized work — and a direct complex eigh
+  has no eigenvector-pairing ambiguity, unlike a real 2B x 2B
+  embedding, whose degenerate clusters can yield complex-PARALLEL
+  vector pairs).
+- Mode lift Phi_f = Q_f V_f Lambda_f^{-1/2} is a batched device
+  einsum; zero-energy directions (rank-deficient Grams, n_x < B) get
+  exactly-zero mode columns instead of amplified roundoff.
 """
 from __future__ import annotations
 
@@ -40,9 +42,10 @@ _mm = functools.partial(jnp.matmul, precision=PRECISION)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_blocks"))
-def _spod_kernel(x, window, n_fft, hop, n_blocks):
-    """(energies (n_freq, B), phi_re/phi_im (n_freq, n_x, B)) from
-    snapshot columns x (n_x, n_t). All-real algebra; see module doc."""
+def _spod_dft_kernel(x, window, n_fft, hop, n_blocks):
+    """Device stage 1: Welch blocks + windowed real DFT + per-frequency
+    cross-spectral Grams. Returns (q_re, q_im) (n_freq, n_x, B) and
+    (m_re, m_im) (n_freq, B, B). All-real algebra; see module doc."""
     n_x = x.shape[0]
     dtype = x.dtype
     # Welch blocks: one gather -> (B, n_x, n_fft), windowed
@@ -62,26 +65,28 @@ def _spod_kernel(x, window, n_fft, hop, n_blocks):
     q_re = jnp.transpose(q_re, (2, 1, 0))
     q_im = jnp.transpose(q_im, (2, 1, 0))
 
-    def per_freq(qr, qi):
-        # Hermitian Gram M = Q^H Q / B, split re/im
+    def gram(qr, qi):
         m_re = (_mm(qr.T, qr) + _mm(qi.T, qi)) / n_blocks
         m_im = (_mm(qr.T, qi) - _mm(qi.T, qr)) / n_blocks
-        # real 2B x 2B embedding; eigh ascending, eigenvalues doubled
-        top = jnp.concatenate([m_re, -m_im], axis=1)
-        bot = jnp.concatenate([m_im, m_re], axis=1)
-        w, v = jnp.linalg.eigh(jnp.concatenate([top, bot], axis=0))
-        # one representative per doubled pair, descending energy:
-        # ascending-order columns 2B-1, 2B-3, ... -> indices ::-2
-        w = w[::-2]                                    # (B,) descending
-        v_re = v[:n_blocks, ::-2]                      # (B, B)
-        v_im = v[n_blocks:, ::-2]
-        # lift: Phi = Q V / sqrt(B * lambda)  (complex, split parts)
-        scale = 1.0 / jnp.sqrt(jnp.maximum(w, 1e-300) * n_blocks)
-        p_re = (_mm(qr, v_re) - _mm(qi, v_im)) * scale[None, :]
-        p_im = (_mm(qr, v_im) + _mm(qi, v_re)) * scale[None, :]
-        return w, p_re, p_im
+        return m_re, m_im
 
-    return jax.vmap(per_freq)(q_re, q_im)
+    m_re, m_im = jax.vmap(gram)(q_re, q_im)
+    return q_re, q_im, m_re, m_im
+
+
+@jax.jit
+def _spod_lift_kernel(q_re, q_im, v_re, v_im, scale):
+    """Device stage 2: Phi = Q V scale, batched over frequencies
+    (complex split into re/im real matmuls)."""
+    p_re = (jnp.einsum("fxb,fbk->fxk", q_re, v_re,
+                       precision=PRECISION)
+            - jnp.einsum("fxb,fbk->fxk", q_im, v_im,
+                         precision=PRECISION))
+    p_im = (jnp.einsum("fxb,fbk->fxk", q_re, v_im,
+                       precision=PRECISION)
+            + jnp.einsum("fxb,fbk->fxk", q_im, v_re,
+                         precision=PRECISION))
+    return p_re * scale[:, None, :], p_im * scale[:, None, :]
 
 
 @register_model_class
@@ -193,21 +198,50 @@ def spod(x_data, n_fft: int = 128, overlap: float = 0.5,
     x = x - jnp.mean(x, axis=1, keepdims=True)
     win = jnp.asarray(w_np * np.sqrt(2.0 * float(dt) / w_pow), x.dtype)
 
-    energies, p_re, p_im = _spod_kernel(x, win, n_fft, hop, n_blocks)
+    q_re, q_im, m_re, m_im = _spod_dft_kernel(x, win, n_fft, hop,
+                                              n_blocks)
+    # host complex Hermitian eigendecomposition of the tiny (B, B)
+    # cross-spectral Grams, batched over frequencies: a direct complex
+    # eigh has no eigenvector-pairing ambiguity (a real-embedding eigh
+    # can return complex-PARALLEL vector pairs inside degenerate
+    # clusters) and the matrices are rank^2-sized host work
+    mm_c = np.asarray(m_re, np.float64) + 1j * np.asarray(m_im,
+                                                          np.float64)
+    w_all, v_all = np.linalg.eigh(mm_c)            # ascending
+    w_all = np.maximum(w_all[:, ::-1], 0.0)        # descending, >= 0
+    v_all = v_all[:, :, ::-1]
+    keep = n_blocks if n_modes is None else min(int(n_modes), n_blocks)
+    w_all, v_all = w_all[:, :keep], v_all[:, :, :keep]
+    # relative floor: directions below eps * lambda_max(f) carry no
+    # energy — zero their modes instead of amplifying roundoff junk
+    # (an absolute floor produced ~1e134-scaled garbage columns on
+    # rank-deficient Grams, n_x < n_blocks)
+    tiny = np.finfo(np.float64).eps * np.maximum(
+        w_all[:, :1], np.finfo(np.float64).tiny
+    )
+    good = w_all > tiny
+    scale = np.where(good, 1.0 / np.sqrt(
+        np.maximum(w_all, tiny) * n_blocks
+    ), 0.0)
+    dt_ = x.dtype
+    p_re, p_im = _spod_lift_kernel(
+        q_re, q_im,
+        jnp.asarray(np.ascontiguousarray(v_all.real), dt_),
+        jnp.asarray(np.ascontiguousarray(v_all.imag), dt_),
+        jnp.asarray(scale, dt_),
+    )
     # undo the one-sided doubling at DC (and Nyquist for even n_fft)
     fix = np.ones(n_fft // 2 + 1)
     fix[0] = 0.5
     if n_fft % 2 == 0:
         fix[-1] = 0.5
-    energies = energies * jnp.asarray(fix, energies.dtype)[:, None]
-
-    keep = n_blocks if n_modes is None else min(int(n_modes), n_blocks)
+    energies = jnp.asarray(w_all * fix[:, None], dt_)
     out = Spod.__new__(Spod)
     out.n_state = n_x
     out.n_blocks = n_blocks
     out.n_fft = n_fft
     out.freqs = np.fft.rfftfreq(n_fft, d=float(dt))
-    out.energies = energies[:, :keep]
-    out.modes_re = p_re[:, :, :keep]
-    out.modes_im = p_im[:, :, :keep]
+    out.energies = energies
+    out.modes_re = p_re
+    out.modes_im = p_im
     return out

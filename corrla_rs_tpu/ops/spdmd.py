@@ -100,10 +100,11 @@ def spdmd(fit, x_data, gammas, rho: float = 1.0, maxiter: int = 2000,
     ploss = np.zeros(gammas_arr.size)
     j0 = max(j_of(np.linalg.solve(p_mat, q)), 0.0)
     denom = max(s, 1e-300)
-    for gi, gamma in enumerate(gammas_arr):
-        from scipy.linalg import cho_factor, cho_solve
+    from scipy.linalg import cho_factor, cho_solve
 
-        cf = cho_factor(p_mat + 0.5 * rho * np.eye(r))
+    # gamma-invariant: factor (P + rho/2 I) once for the whole sweep
+    cf = cho_factor(p_mat + 0.5 * rho * np.eye(r))
+    for gi, gamma in enumerate(gammas_arr):
         b = np.linalg.solve(p_mat, q)
         z = b.copy()
         u = np.zeros(r, np.complex128)

@@ -43,12 +43,11 @@ def _rademacher(key, shape, dtype):
     return jax.random.rademacher(key, shape, dtype=dtype)
 
 
-def hutchinson_trace(a, n_probes: int = 64, key=0,
-                     dtype=jnp.float64) -> float:
+def hutchinson_trace(a, n_probes: int = 64, key=0) -> float:
     """Plain Hutchinson estimate of tr(A): mean of x^T A x over
-    Rademacher probes (error ~ ||A||_F / sqrt(n_probes)). ``a`` is an
-    (n, n) matrix or a batched matvec callable (n, k) -> (n, k); pass
-    ``dtype`` (and the probe count) to match the operator."""
+    Rademacher probes (error ~ ||A||_F / sqrt(n_probes)). ``a`` must
+    be an explicit (n, n) matrix; for matrix-free operators use
+    :func:`hutchpp_trace` with a callable and ``n_dim=``."""
     if n_probes < 1:
         raise ValueError(f"n_probes must be >= 1, got {n_probes}")
     if callable(a):

@@ -106,6 +106,30 @@ def test_spod_sharded_same_answer(rng):
     assert np.abs(np.vdot(p1, p2)) > 1 - 1e-9
 
 
+def test_spod_rank_deficient_gram(rng):
+    # n_x < n_blocks: the cross-spectral Gram is rank-deficient at
+    # every frequency. Regression: the near-zero eigenvalues must give
+    # exactly-zero mode columns (an absolute eigenvalue floor produced
+    # ~1e134-scaled garbage), energies must be >= 0, and the energetic
+    # modes stay orthonormal.
+    fit = spod(rng.standard_normal((3, 600)), n_fft=64, overlap=0.5)
+    e = np.asarray(fit.energies)
+    re, im = np.asarray(fit.modes_re), np.asarray(fit.modes_im)
+    assert np.all(np.isfinite(re)) and np.all(np.isfinite(im))
+    assert np.all(e >= 0)
+    assert np.max(np.abs(re)) < 10 and np.max(np.abs(im)) < 10
+    # junk directions are exactly zero; energetic ones orthonormal
+    for bin_i in (5, 20):
+        phi = re[bin_i] + 1j * im[bin_i]
+        norms = np.linalg.norm(phi, axis=0)
+        good = norms > 0.5
+        assert np.sum(good) <= 3
+        assert np.all(norms[~good] < 1e-6)  # zero or floor-tiny
+        g = phi[:, good].conj().T @ phi[:, good]
+        np.testing.assert_allclose(g, np.eye(int(np.sum(good))),
+                                   atol=1e-8)
+
+
 def test_spod_energy_interval(rng):
     # chi-squared band: brackets the energies, tightens with blocks,
     # and on white noise the TRUE flat spectrum falls inside the band
