@@ -26,7 +26,7 @@ import numpy as np
 
 from corrla_rs_tpu.ops.mat_utils import PRECISION
 
-__all__ = ["dare", "kalman_filter"]
+__all__ = ["dare", "kalman_filter", "kalman_smooth"]
 
 _mm = functools.partial(jnp.matmul, precision=PRECISION)
 
@@ -88,7 +88,7 @@ def _kf_kernel(a, b, c, d, k, x0, u, y):
 
 
 def kalman_filter(a, b, c, d, q, r, u_seq, y_seq, x0=None,
-                  n_dare_iters: int = 200):
+                  n_dare_iters: int = 200, _with_mats: bool = False):
     """Steady-state Kalman filter over an input-output record.
 
     a/b/c/d: the realization (e.g. ``fit.a`` ... from :func:`era_okid`;
@@ -138,6 +138,46 @@ def kalman_filter(a, b, c, d, q, r, u_seq, y_seq, x0=None,
     quad = jnp.sum(innov * jnp.linalg.solve(s, innov))
     loglik = -0.5 * (t_len * (p_out * jnp.log(2 * jnp.pi) + logdet)
                      + quad)
-    return {"x_filt": x_filt, "innovations": innov, "gain": k,
-            "innovation_cov": s, "loglik": float(loglik),
-            "state_cov": p}
+    out = {"x_filt": x_filt, "innovations": innov, "gain": k,
+           "innovation_cov": s, "loglik": float(loglik),
+           "state_cov": p}
+    if _with_mats:   # internal: the RTS smoother reuses these
+        return out, (a, b, c, p, k, u)
+    return out
+
+
+@jax.jit
+def _rts_kernel(a, b, g, x_filt, u):
+    """Backward Rauch-Tung-Striebel pass with the steady-state smoother
+    gain G = P_f A^T P^{-1}: x_s[t] = x_f[t] + G (x_s[t+1] - x_p[t+1]),
+    x_p[t+1] = A x_f[t] + B u[t]."""
+    x_pred_next = _mm(a, x_filt) + _mm(b, u)      # (n, T): x_p[t+1]
+
+    def step(x_s_next, cols):
+        xf, xp_next = cols
+        x_s = xf + _mm(g, (x_s_next - xp_next)[:, None])[:, 0]
+        return x_s, x_s
+
+    last = x_filt[:, -1]
+    _, xs_rev = jax.lax.scan(
+        step, last,
+        (x_filt.T[:-1][::-1], x_pred_next.T[:-1][::-1]),
+    )
+    return jnp.concatenate([xs_rev[::-1].T, last[:, None]], axis=1)
+
+
+def kalman_smooth(a, b, c, d, q, r, u_seq, y_seq, x0=None,
+                  n_dare_iters: int = 200):
+    """Fixed-interval RTS smoother on top of :func:`kalman_filter`
+    (steady-state gains). Returns the filter's dict plus ``x_smooth``
+    (n, T) — each state estimated from the WHOLE record, so smoothed
+    error is never worse than filtered (tested)."""
+    out, (a_m, b_m, c_m, p, k, u) = kalman_filter(
+        a, b, c, d, q, r, u_seq, y_seq, x0=x0,
+        n_dare_iters=n_dare_iters, _with_mats=True,
+    )
+    # filtered covariance P_f = (I - K C) P; smoother gain P_f A^T P^-1
+    p_f = p - _mm(k, _mm(c_m, p))
+    g = jnp.linalg.solve(p.T, _mm(a_m, p_f.T)).T   # P_f A^T P^{-1}
+    out["x_smooth"] = _rts_kernel(a_m, b_m, g, out["x_filt"], u)
+    return out

@@ -8,7 +8,7 @@ likelihood peaks at the true noise level.
 import numpy as np
 import pytest
 
-from corrla_rs_tpu import dare, kalman_filter
+from corrla_rs_tpu import dare, kalman_filter, kalman_smooth
 
 
 def _system():
@@ -66,6 +66,21 @@ def test_filter_beats_open_loop_and_innovations_white(rng):
     assert np.var(e) == pytest.approx(s_pred, rel=0.1)
     lag1 = np.corrcoef(e[:-1], e[1:])[0, 1]
     assert abs(lag1) < 0.05
+
+
+def test_rts_smoother_beats_filter(rng):
+    a, b, c, d = _system()
+    q_sd, r_sd = 0.2, 0.3
+    u = rng.standard_normal((1, 4000))
+    xs, ys = _simulate(rng, a, b, c, d, u, q_sd, r_sd)
+    out = kalman_smooth(a, b, c, d, q_sd**2, r_sd**2, u, ys)
+    err_f = np.mean((np.asarray(out["x_filt"]) - xs) ** 2)
+    err_s = np.mean((np.asarray(out["x_smooth"]) - xs) ** 2)
+    assert err_s < err_f          # whole-record estimates are better
+    assert out["x_smooth"].shape == xs.shape
+    # the filter's public dict stays clean (no private keys)
+    flt = kalman_filter(a, b, c, d, q_sd**2, r_sd**2, u, ys)
+    assert all(not key.startswith("_") for key in flt)
 
 
 def test_loglik_peaks_at_true_noise(rng):
