@@ -73,6 +73,7 @@ from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
 from corrla_rs_tpu.ops.kalman import dare, kalman_filter, kalman_smooth
+from corrla_rs_tpu.ops.robust_pca import robust_pca
 from corrla_rs_tpu.ops.sketch_solve import sketched_lstsq
 from corrla_rs_tpu.ops.trace_est import hutchinson_trace, hutchpp_trace
 from corrla_rs_tpu.ops.spdmd import spdmd
@@ -249,6 +250,7 @@ __all__ = [
     "dare",
     "kalman_filter",
     "kalman_smooth",
+    "robust_pca",
     "hutchinson_trace",
     "hutchpp_trace",
     "svht_threshold",
