@@ -72,6 +72,7 @@ from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd, bop_dmd
 from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
+from corrla_rs_tpu.ops.cp import cp_als, cp_reconstruct
 from corrla_rs_tpu.ops.kalman import dare, kalman_filter, kalman_smooth
 from corrla_rs_tpu.ops.robust_pca import robust_pca
 from corrla_rs_tpu.ops.sketch_solve import sketched_lstsq
@@ -251,6 +252,8 @@ __all__ = [
     "kalman_filter",
     "kalman_smooth",
     "robust_pca",
+    "cp_als",
+    "cp_reconstruct",
     "hutchinson_trace",
     "hutchpp_trace",
     "svht_threshold",
