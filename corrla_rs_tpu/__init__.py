@@ -73,6 +73,7 @@ from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
 from corrla_rs_tpu.ops.cp import cp_als, cp_reconstruct
+from corrla_rs_tpu.ops.nmf import nmf
 from corrla_rs_tpu.ops.kalman import dare, kalman_filter, kalman_smooth
 from corrla_rs_tpu.ops.robust_pca import robust_pca
 from corrla_rs_tpu.ops.sketch_solve import sketched_lstsq
@@ -254,6 +255,7 @@ __all__ = [
     "robust_pca",
     "cp_als",
     "cp_reconstruct",
+    "nmf",
     "hutchinson_trace",
     "hutchpp_trace",
     "svht_threshold",
