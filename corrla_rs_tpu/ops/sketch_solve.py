@@ -97,7 +97,7 @@ def _sketched_cgls(a, b, s_rows, n_iters, key):
 
 
 def sketched_lstsq(a, b, sketch_factor: float = 4.0, n_iters: int = 30,
-                   key=0):
+                   key=0, mesh=None):
     """min_x ||A x - b||_2 by sketch-and-precondition CGLS.
 
     a: (m, n) with m >= n (very tall is the target regime); b: (m,) or
@@ -105,7 +105,10 @@ def sketched_lstsq(a, b, sketch_factor: float = 4.0, n_iters: int = 30,
     column-by-column under vmap; sketch_factor: sketch rows = factor*n
     (>= 2; 4 keeps the preconditioned condition number ~3);
     n_iters: fixed CGLS iterations (30 reaches f64 machine precision
-    at factor 4).
+    at factor 4); mesh: optional 1-D jax.sharding.Mesh — A's rows (the
+    long axis) shard across devices; every contraction over m (the
+    sketch, A^T r) reduces with one psum under GSPMD while the small
+    (s, n)/(n, n) algebra replicates.
 
     Returns (x, hist): the solution(s) (n,) or (n, k) and the
     preconditioned normal-residual history (n_iters,) or (k, n_iters)
@@ -128,9 +131,15 @@ def sketched_lstsq(a, b, sketch_factor: float = 4.0, n_iters: int = 30,
         bb = bb[:, None]
     if bb.shape[0] != m:
         raise ValueError(f"b must have {m} rows, got {bb.shape}")
-    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+    if mesh is not None:
+        from corrla_rs_tpu.parallel.mesh import shard_rows
 
-    a, bb = maybe_route_small(a, bb)
+        a = shard_rows(a, mesh)
+        bb = shard_rows(bb, mesh)
+    else:
+        from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+        a, bb = maybe_route_small(a, bb)
     xs, hists = jax.vmap(
         lambda col: _sketched_cgls(a, col, s_rows, int(n_iters),
                                    as_key(key)),

@@ -71,3 +71,21 @@ def test_validation(rng):
         sketched_lstsq(a, np.zeros(100), sketch_factor=1.0)
     with pytest.raises(ValueError, match="rows"):
         sketched_lstsq(a, np.zeros(99))
+
+
+def test_sharded_same_answer(rng):
+    # rows of A shard over the 8-device mesh; the m-contractions (the
+    # sketch, A^T r) psum under GSPMD -> same solution
+    from corrla_rs_tpu.parallel.mesh import make_mesh
+
+    a = _tall(rng, m=1600, n=24, cond=1e4)
+    b = rng.standard_normal(1600)
+    x_single, _ = sketched_lstsq(a, b, key=7)
+    x_shard, _ = sketched_lstsq(a, b, key=7, mesh=make_mesh(8))
+    # x differs only by reduction-order rounding amplified by cond(A);
+    # compare loosely in x and tightly through the residual
+    np.testing.assert_allclose(np.asarray(x_shard),
+                               np.asarray(x_single), rtol=1e-4)
+    r_sh = np.linalg.norm(a @ np.asarray(x_shard) - b)
+    r_si = np.linalg.norm(a @ np.asarray(x_single) - b)
+    assert abs(r_sh - r_si) < 1e-10 * r_si
