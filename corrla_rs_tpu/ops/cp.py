@@ -67,7 +67,10 @@ def _cp_sweeps(t, factors, n_sweeps):
                 if k != mode:
                     g = g * grams[k]
             m = _mttkrp(t, factors, mode)            # (I_mode, R)
-            reg = eps * jnp.trace(g) / g.shape[0]
+            # ridge well above roundoff: over-ranked fits drive factor
+            # columns collinear and make the Hadamard Gram numerically
+            # singular; eps-scale regularization lets solve emit NaN
+            reg = 100.0 * eps * jnp.trace(g) / g.shape[0] + eps
             f_new = jnp.linalg.solve(
                 g + reg * jnp.eye(g.shape[0], dtype=t.dtype), m.T
             ).T
@@ -114,6 +117,12 @@ def cp_als(tensor, rank: int, n_sweeps: int = 50, key=0,
         raise ValueError(f"rank must be >= 1, got {rank}")
     if init not in ("svd", "random"):
         raise ValueError(f"init must be 'svd' or 'random', got {init!r}")
+    if not bool(jnp.any(t != 0)):
+        # a zero tensor would divide the fit by ||T|| = 0 -> NaN
+        zeros = [jnp.zeros((int(t.shape[k]), r), t.dtype)
+                 for k in range(t.ndim)]
+        return (jnp.zeros((r,), t.dtype), zeros,
+                jnp.ones((int(n_sweeps),), t.dtype))
     keys = jax.random.split(as_key(key), t.ndim)
     if init == "random":
         factors = [
@@ -153,10 +162,23 @@ def cp_als(tensor, rank: int, n_sweeps: int = 50, key=0,
 
 
 def cp_reconstruct(weights, factors):
-    """Dense tensor from a CP model: sum_r w_r outer(a_r^(1), ...)."""
+    """Dense tensor from a CP model: sum_r w_r outer(a_r^(1), ...).
+
+    Accumulates rank-one terms under lax.scan so peak memory is
+    O(output), not O(output * R) (a (..., R) intermediate would be R
+    times the output tensor)."""
     d = len(factors)
-    cur = jnp.asarray(factors[0]) * jnp.asarray(weights)[None, :]
-    for k in range(1, d):
-        cur = jnp.einsum("...r,jr->...jr", cur, jnp.asarray(factors[k]),
-                         precision=PRECISION)
-    return jnp.sum(cur, axis=-1)
+    w = jnp.asarray(weights)
+    cols = tuple(jnp.asarray(f).T for f in factors)   # each (R, I_k)
+    shape = tuple(int(f.shape[1]) for f in cols)
+
+    def add_term(acc, xs):
+        wr, vecs = xs
+        term = vecs[0]
+        for k in range(1, d):
+            term = term[..., None] * vecs[k]
+        return acc + wr * term, None
+
+    acc0 = jnp.zeros(shape, cols[0].dtype)
+    acc, _ = jax.lax.scan(add_term, acc0, (w, cols))
+    return acc

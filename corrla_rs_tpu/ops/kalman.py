@@ -104,11 +104,24 @@ def kalman_filter(a, b, c, d, q, r, u_seq, y_seq, x0=None,
     """
     a = jnp.asarray(a)
     n = int(a.shape[0])
-    b = jnp.asarray(b).reshape(n, -1)
+    b = jnp.asarray(b)
+    if b.ndim == 1:
+        b = b[:, None]
+    if b.shape[0] != n:
+        # explicit check: a silent reshape would row-major SCRAMBLE a
+        # transposed B into a wrong-but-plausible model
+        raise ValueError(f"b must be ({n}, n_u), got {b.shape}")
     c = jnp.atleast_2d(jnp.asarray(c))
     p_out = int(c.shape[0])
-    d_mat = (jnp.zeros((p_out, b.shape[1]), a.dtype) if d is None
-             else jnp.asarray(d).reshape(p_out, b.shape[1]))
+    if d is None:
+        d_mat = jnp.zeros((p_out, b.shape[1]), a.dtype)
+    else:
+        d_mat = jnp.atleast_2d(jnp.asarray(d))
+        if d_mat.shape != (p_out, int(b.shape[1])):
+            raise ValueError(
+                f"d must be ({p_out}, {int(b.shape[1])}), got "
+                f"{d_mat.shape}"
+            )
     q_mat = (float(q) * jnp.eye(n, dtype=a.dtype)
              if np.ndim(q) == 0 else jnp.asarray(q))
     r_mat = (float(r) * jnp.eye(p_out, dtype=a.dtype)

@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from corrla_rs_tpu.ops.mat_utils import PRECISION
+
 __all__ = ["robust_pca"]
+
+_mm = functools.partial(jnp.matmul, precision=PRECISION)
 
 
 @jax.jit
@@ -38,7 +42,7 @@ def _ialm_step(m, s, y, mu, lam):
     # singular-value soft-threshold of (M - S + Y/mu) at 1/mu
     u, sig, vt = jnp.linalg.svd(m - s + y / mu, full_matrices=False)
     sig_t = jnp.maximum(sig - 1.0 / mu, 0.0)
-    l_new = (u * sig_t[None, :]) @ vt
+    l_new = _mm(u * sig_t[None, :], vt)
     # elementwise shrinkage of (M - L + Y/mu) at lam/mu
     g = m - l_new + y / mu
     s_new = jnp.sign(g) * jnp.maximum(jnp.abs(g) - lam / mu, 0.0)
@@ -63,6 +67,11 @@ def robust_pca(m_data, lam: float | None = None, mu0: float | None = None,
     m = jnp.asarray(m_data)
     if m.ndim != 2:
         raise ValueError(f"m_data must be 2-d, got {m.ndim}-d")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+    (m,) = maybe_route_small(m)
     n_r, n_c = int(m.shape[0]), int(m.shape[1])
     if lam is None:
         lam = 1.0 / np.sqrt(max(n_r, n_c))
@@ -73,13 +82,12 @@ def robust_pca(m_data, lam: float | None = None, mu0: float | None = None,
         z = jnp.zeros_like(m)
         return z, z, {"iterations": 0, "rel_residual": 0.0,
                       "rank": 0, "nnz_frac": 0.0}
+    # one spectral norm serves both the penalty and the dual init
+    m_2norm = float(jnp.linalg.norm(m, 2))
     if mu0 is None:
-        # standard IALM init: 1.25 / ||M||_2 (2-norm via a few power
-        # iterations would do; the full SVD per sweep dwarfs one more)
-        mu0 = 1.25 / float(jnp.linalg.norm(m, 2))
+        mu0 = 1.25 / m_2norm        # standard IALM init (Lin et al.)
     # dual init Y = M / max(||M||_2, ||M||_inf / lam) (Lin et al.)
-    scale = max(float(jnp.linalg.norm(m, 2)),
-                float(jnp.max(jnp.abs(m))) / lam)
+    scale = max(m_2norm, float(jnp.max(jnp.abs(m))) / lam)
     y = m / scale
     s = jnp.zeros_like(m)
     mu = jnp.asarray(float(mu0), m.dtype)

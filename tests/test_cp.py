@@ -65,3 +65,18 @@ def test_cp_validation(rng):
         cp_als(np.zeros(5), 2)
     with pytest.raises(ValueError, match="rank"):
         cp_als(np.zeros((3, 3)), 0)
+
+
+def test_cp_degenerate_inputs(rng):
+    # zero tensor: clean zero model, no NaN
+    w, factors, fits = cp_als(np.zeros((4, 5, 6)), 2, n_sweeps=5)
+    assert np.all(np.asarray(w) == 0)
+    assert np.all(np.isfinite(np.asarray(fits)))
+    # over-ranked fit (rank > true CP rank): finite everywhere
+    f = [rng.standard_normal((s, 2)) for s in (10, 9, 8)]
+    t = np.einsum("ir,jr,kr->ijk", *f)
+    w, factors, fits = cp_als(t, 5, n_sweeps=60)
+    assert np.all(np.isfinite(np.asarray(fits)))
+    for fh in factors:
+        assert np.all(np.isfinite(np.asarray(fh)))
+    assert float(fits[-1]) > 1 - 1e-6

@@ -144,6 +144,15 @@ r_ref = np.linalg.norm(
     - bf.astype(np.float64))
 out["lstsq_rel_excess"] = float(r32 / r_ref - 1.0)
 
+# robust PCA in f32: PRECISION=HIGHEST matmuls keep the split exact
+from corrla_rs_tpu import robust_pca
+lr = (rng.standard_normal((60, 3)) @ rng.standard_normal((3, 40)))
+msk = rng.random((60, 40)) < 0.05
+mm32 = (lr + np.where(msk, 8.0, 0.0)).astype(np.float32)
+l32, s32, info32 = robust_pca(mm32, tol=1e-5)
+out["rpca_l_rel"] = float(np.linalg.norm(np.asarray(l32, np.float64) - lr)
+                          / np.linalg.norm(lr))
+
 print(json.dumps(out))
 """
 
@@ -161,3 +170,4 @@ def test_f32_wave3_end_to_end():
     assert out["optdmd_alpha_err"] < 1e-3, out
     assert out["era_pole_err"] < 1e-3, out
     assert out["lstsq_rel_excess"] < 1e-4, out
+    assert out["rpca_l_rel"] < 1e-2, out

@@ -109,3 +109,13 @@ def test_kalman_validation(rng):
     out = kalman_filter(a, b, c, None, 0.01, 0.01, u, ys)
     assert out["x_filt"].shape == (2, 50)
     assert np.isfinite(out["loglik"])
+
+
+def test_transposed_b_d_rejected(rng):
+    a, b, c, d = _system()
+    u = rng.standard_normal((1, 30))
+    y = rng.standard_normal((1, 30))
+    with pytest.raises(ValueError, match="b must be"):
+        kalman_filter(a, b.T.copy().reshape(1, 2), c, d, 0.1, 0.1, u, y)
+    with pytest.raises(ValueError, match="d must be"):
+        kalman_filter(a, b, c, np.zeros((2, 1)), 0.1, 0.1, u, y)

@@ -58,3 +58,8 @@ def test_validation_and_edge_cases(rng):
     assert np.linalg.norm(np.asarray(s_hat)) < 5e-3 * m_norm
     assert np.linalg.norm(np.asarray(l_hat) - m_clean) < 5e-3 * m_norm
     assert info["rank"] == 5
+
+
+def test_max_iter_validation():
+    with pytest.raises(ValueError, match="max_iter"):
+        robust_pca(np.ones((4, 4)), max_iter=0)
