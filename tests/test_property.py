@@ -120,3 +120,100 @@ def test_eig_device_random_configs(seed):
     v = np.asarray(vr) + 1j * np.asarray(vi)
     resid = np.abs(a @ v - v * lam[None, :]).max()
     assert resid < 1e-10 * scale * n, (n, scale, resid)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_era_random_stable_systems(seed):
+    # random stable (A, B, C) of random sizes: ERA recovers the poles
+    # from the Markov stack at f64 tolerance
+    from corrla_rs_tpu import era
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(2, 6))
+    p = int(rng.integers(1, 3))
+    q = int(rng.integers(1, 3))
+    qm, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = rng.uniform(-0.9, 0.9, n)
+    a = qm @ np.diag(lam) @ qm.T
+    b = rng.standard_normal((n, p))
+    c = rng.standard_normal((q, n))
+    hs = np.empty((30, q, p))
+    ca = c.copy()
+    for k in range(30):
+        hs[k] = ca @ b
+        ca = ca @ a
+    fit = era(hs, rank=n)
+    np.testing.assert_allclose(np.sort_complex(fit.lambdas),
+                               np.sort_complex(lam.astype(complex)),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sketched_lstsq_random_shapes(seed):
+    from corrla_rs_tpu import sketched_lstsq
+
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(4, 40))
+    m = int(rng.integers(4 * n + 16, 2000))
+    a = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    x, _ = sketched_lstsq(a, b, key=seed)
+    x_ref, *_ = np.linalg.lstsq(a, b, rcond=None)
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pidmd_orthogonal_random_shapes(seed):
+    from corrla_rs_tpu import PiDmd
+
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(4, 24))
+    m = int(rng.integers(3 * n, 6 * n))
+    qm, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    x = np.empty((n, m))
+    x[:, 0] = rng.standard_normal(n)
+    for k in range(1, m):
+        x[:, k] = qm @ x[:, k - 1]
+    fit = PiDmd(x + 0.01 * rng.standard_normal(x.shape), n_modes=n,
+                family="orthogonal")
+    np.testing.assert_allclose(np.abs(fit.lambdas), 1.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_spod_random_shapes_orthonormal(seed):
+    from corrla_rs_tpu import spod
+
+    rng = np.random.default_rng(400 + seed)
+    n_x = int(rng.integers(2, 20))
+    n_fft = int(2 ** rng.integers(4, 7))
+    n_t = n_fft * int(rng.integers(4, 9))
+    fit = spod(rng.standard_normal((n_x, n_t)), n_fft=n_fft)
+    e = np.asarray(fit.energies)
+    assert np.all(np.isfinite(e)) and np.all(e >= 0)
+    assert np.all(np.isfinite(np.asarray(fit.modes_re)))
+    # energetic modes orthonormal at a random interior bin
+    bin_i = int(rng.integers(1, n_fft // 2))
+    phi = (np.asarray(fit.modes_re[bin_i])
+           + 1j * np.asarray(fit.modes_im[bin_i]))
+    norms = np.linalg.norm(phi, axis=0)
+    good = norms > 0.5
+    if np.any(good):
+        g = phi[:, good].conj().T @ phi[:, good]
+        np.testing.assert_allclose(g, np.eye(int(good.sum())),
+                                   atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_cp_random_exact_rank(seed):
+    from corrla_rs_tpu import cp_als
+
+    rng = np.random.default_rng(500 + seed)
+    d = int(rng.integers(3, 5))
+    shape = tuple(int(rng.integers(4, 12)) for _ in range(d))
+    r = int(rng.integers(1, 4))
+    factors = [rng.standard_normal((s, r)) for s in shape]
+    subs = "abcdefgh"[:d]
+    spec = ",".join(f"{s}r" for s in subs) + "->" + subs
+    t = np.einsum(spec, *factors)
+    _, _, fits = cp_als(t, r, n_sweeps=120, key=seed)
+    assert float(fits[-1]) > 1 - 1e-6
