@@ -72,6 +72,7 @@ from corrla_rs_tpu.models.optdmd import BopDmd, OptDmd, bop_dmd
 from corrla_rs_tpu.models.spod import Spod, spod
 from corrla_rs_tpu.models.pidmd import PiDmd
 from corrla_rs_tpu.models.era import Era, era, era_okid, okid
+from corrla_rs_tpu.ops.completion import matrix_complete
 from corrla_rs_tpu.ops.cp import cp_als, cp_reconstruct
 from corrla_rs_tpu.ops.nmf import nmf
 from corrla_rs_tpu.ops.kalman import dare, kalman_filter, kalman_smooth
@@ -256,6 +257,7 @@ __all__ = [
     "cp_als",
     "cp_reconstruct",
     "nmf",
+    "matrix_complete",
     "hutchinson_trace",
     "hutchpp_trace",
     "svht_threshold",
