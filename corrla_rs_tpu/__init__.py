@@ -75,7 +75,7 @@ from corrla_rs_tpu.models.era import Era, era, era_okid, okid
 from corrla_rs_tpu.ops.completion import matrix_complete
 from corrla_rs_tpu.ops.cp import cp_als, cp_reconstruct
 from corrla_rs_tpu.ops.nmf import nmf
-from corrla_rs_tpu.ops.kalman import dare, kalman_filter, kalman_smooth
+from corrla_rs_tpu.ops.kalman import dare, dlqr, kalman_filter, kalman_smooth
 from corrla_rs_tpu.ops.robust_pca import robust_pca
 from corrla_rs_tpu.ops.sketch_solve import sketched_lstsq
 from corrla_rs_tpu.ops.trace_est import hutchinson_trace, hutchpp_trace
@@ -253,6 +253,7 @@ __all__ = [
     "dare",
     "kalman_filter",
     "kalman_smooth",
+    "dlqr",
     "robust_pca",
     "cp_als",
     "cp_reconstruct",

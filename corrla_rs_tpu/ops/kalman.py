@@ -26,7 +26,7 @@ import numpy as np
 
 from corrla_rs_tpu.ops.mat_utils import PRECISION
 
-__all__ = ["dare", "kalman_filter", "kalman_smooth"]
+__all__ = ["dare", "kalman_filter", "kalman_smooth", "dlqr"]
 
 _mm = functools.partial(jnp.matmul, precision=PRECISION)
 
@@ -68,6 +68,30 @@ def dare(a, c, q, r, n_iters: int = 200):
             f"r {r.shape}"
         )
     return _dare_kernel(a, c, q, r, int(n_iters))
+
+
+def dlqr(a, b, q, r, n_iters: int = 200):
+    """Discrete-time infinite-horizon LQR for x' = A x + B u with cost
+    sum x^T Q x + u^T R u: returns (k_gain, p) with u = -K x and P the
+    stabilizing solution of the CONTROL DARE
+
+      P = A^T (P - P B (B^T P B + R)^{-1} B^T P) A + Q.
+
+    By filter/control duality this is :func:`dare` on the transposed
+    system (A -> A^T, C -> B^T), so the same fixed-iteration Riccati
+    kernel serves both; K = (B^T P B + R)^{-1} B^T P A. Closes the
+    identification chain: era_okid -> kalman_filter -> dlqr is
+    identify -> estimate -> control.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if b.ndim == 1:
+        b = b[:, None]
+    p = dare(a.T, b.T, jnp.asarray(q), jnp.asarray(r),
+             n_iters=n_iters)
+    s = _mm(_mm(b.T, p), b) + jnp.atleast_2d(jnp.asarray(r))
+    k_gain = jnp.linalg.solve(s, _mm(_mm(b.T, p), a))
+    return k_gain, p
 
 
 @jax.jit

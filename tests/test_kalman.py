@@ -119,3 +119,24 @@ def test_transposed_b_d_rejected(rng):
         kalman_filter(a, b.T.copy().reshape(1, 2), c, d, 0.1, 0.1, u, y)
     with pytest.raises(ValueError, match="d must be"):
         kalman_filter(a, b, c, np.zeros((2, 1)), 0.1, 0.1, u, y)
+
+
+def test_dlqr_matches_scipy_and_stabilizes(rng):
+    from scipy.linalg import solve_discrete_are
+
+    from corrla_rs_tpu import dlqr
+
+    # an UNSTABLE system the LQR must stabilize
+    a = np.array([[1.1, 0.4], [0.0, 0.95]])
+    b = np.array([[0.0], [1.0]])
+    q = np.eye(2)
+    r = np.array([[0.5]])
+    k_gain, p = dlqr(a, b, q, r)
+    p_ref = solve_discrete_are(a, b, q, r)
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-10)
+    k_ref = np.linalg.solve(b.T @ p_ref @ b + r, b.T @ p_ref @ a)
+    np.testing.assert_allclose(np.asarray(k_gain), k_ref, rtol=1e-10)
+    # closed loop is stable, open loop is not
+    assert np.max(np.abs(np.linalg.eigvals(a))) > 1
+    cl = a - b @ np.asarray(k_gain)
+    assert np.max(np.abs(np.linalg.eigvals(cl))) < 1
