@@ -81,6 +81,30 @@ class Era:
     complex host spectrum of A (the identified poles).
     """
 
+    def truncate(self, order: int) -> "Era":
+        """Balanced truncation to a smaller order WITHOUT re-fitting:
+        ERA's realization is already balanced (controllability and
+        observability Gramians equal and diagonal = hsv), so the
+        optimal order-r reduction is the leading r x r block, with the
+        classic H-infinity error bound 2 * sum(hsv[r:])."""
+        r = int(order)
+        if not 1 <= r <= self.order:
+            raise ValueError(
+                f"order must be in [1, {self.order}], got {order}"
+            )
+        out = Era.__new__(Era)
+        out.order = r
+        out.n_outputs, out.n_inputs = self.n_outputs, self.n_inputs
+        out.a = self.a[:r, :r]
+        out.b = self.b[:r, :]
+        out.c = self.c[:, :r]
+        out.hsv = self.hsv[:r]
+        out.lambdas = np.linalg.eigvals(np.asarray(out.a, np.float64))
+        d = getattr(self, "d", None)
+        if d is not None:
+            out.d = d
+        return out
+
     def impulse_response(self, n_steps: int) -> jnp.ndarray:
         """(n_steps, n_y, n_u) Markov parameters of the realization:
         h_0 = C B, h_k = C A^k B."""

@@ -175,3 +175,39 @@ def test_okid_validation(rng):
         okid(u, y, 5, n_obs=0)
     with pytest.raises(ValueError, match="record too short"):
         okid(u, y, 20)
+
+
+def test_balanced_truncation_error_bound(rng):
+    # 5-state system; truncate the identified realization to order 2
+    # and check the classic balanced-truncation H-infinity bound
+    a = np.diag([0.9, 0.8, 0.3, 0.2, 0.1])
+    b = np.array([[1.0], [0.8], [0.2], [0.1], [0.05]])
+    c = np.array([[1.0, 0.9, 0.15, 0.1, 0.05]])
+    # long Markov window: ERA balances FINITE-horizon Gramians, and
+    # the infinite-horizon bound only holds once the window captures
+    # the slowest pole's tail (0.9^120 ~ 3e-6)
+    h = _markov(a, b, c, 240)
+    full = era(h, rank=5)
+    red = full.truncate(2)
+    assert red.order == 2 and np.asarray(red.hsv).shape == (2,)
+    # the classic bound is on the H-infinity norm of the ERROR SYSTEM:
+    # sup_w |G(e^iw) - G_r(e^iw)| <= 2 sum hsv[r:]
+    bound = 2.0 * float(np.sum(np.asarray(full.hsv)[2:]))
+
+    def tf(aa, bb, cc, w):
+        return np.array([
+            (cc @ np.linalg.solve(np.exp(1j * wi) * np.eye(aa.shape[0])
+                                  - aa, bb))[0, 0]
+            for wi in w
+        ])
+
+    w = np.linspace(0, np.pi, 400)
+    g_full = tf(a, b, c, w)
+    g_red = tf(np.asarray(red.a), np.asarray(red.b),
+               np.asarray(red.c), w)
+    hinf_err = float(np.max(np.abs(g_full - g_red)))
+    assert hinf_err < bound
+    # dominant poles survive the truncation
+    assert np.max(np.abs(red.lambdas.real)) > 0.85
+    with pytest.raises(ValueError, match="order"):
+        full.truncate(9)
