@@ -85,8 +85,11 @@ class Era:
         """Balanced truncation to a smaller order WITHOUT re-fitting:
         ERA's realization is already balanced (controllability and
         observability Gramians equal and diagonal = hsv), so the
-        optimal order-r reduction is the leading r x r block, with the
-        classic H-infinity error bound 2 * sum(hsv[r:])."""
+        optimal order-r reduction is the leading r x r block. The
+        classic H-infinity error bound 2 * sum(hsv[r:]) holds in the
+        limit of a long Markov window — ERA balances FINITE-horizon
+        Gramians, so fit from a record long enough that the slowest
+        pole's tail has decayed before trusting the bound."""
         r = int(order)
         if not 1 <= r <= self.order:
             raise ValueError(

@@ -76,6 +76,10 @@ def matrix_complete(m_data, mask, rank: int, n_sweeps: int = 30,
     m = jnp.asarray(m_data)
     if m.ndim != 2:
         raise ValueError(f"m_data must be 2-d, got {m.ndim}-d")
+    if not jnp.issubdtype(m.dtype, jnp.floating):
+        # integer ratings are the canonical input; an int carry dtype
+        # would crash lax.scan and int-cast the ridge to zero
+        m = m.astype(jnp.result_type(m.dtype, float))
     msk = jnp.asarray(mask)
     if msk.shape != m.shape:
         raise ValueError(
@@ -88,18 +92,18 @@ def matrix_complete(m_data, mask, rank: int, n_sweeps: int = 30,
     frac = float(jnp.mean(msk))
     if frac == 0.0:
         raise ValueError("mask has no observed entries")
-    m_obs = m * msk
+    # where(), not m * msk: NaN is the canonical missing-data marker
+    # and NaN * 0 = NaN would poison everything downstream
+    m_obs = jnp.where(msk != 0, m, 0.0)
     # absolute ridge from the relative one: observed mean square sets
     # the scale so lam behaves the same across data magnitudes
     scale = float(jnp.sum(m_obs * m_obs)) / max(
         float(jnp.sum(msk)), 1.0
     )
     lam_abs = jnp.asarray(float(lam) * max(scale, 1e-300), m.dtype)
-    # init V from the randomized SVD of the zero-filled matrix scaled
-    # by 1/frac (an unbiased estimator of the full matrix; standard
-    # spectral initialization for completion)
-    _, _, vt = random_svd(m_obs / max(frac, 1e-6), r, 6,
-                          min(8, int(min(m.shape))), key=as_key(key))
+    # spectral init: right singular subspace of the zero-filled matrix
+    # (subspaces are scale-invariant, so no 1/p rescale is needed)
+    _, _, vt = random_svd(m_obs, r, 6, 8, key=as_key(key))
     v0 = vt.T
     u0 = jnp.zeros((int(m.shape[0]), r), m.dtype)
     u, v, hist = _als_sweeps(m_obs, msk, u0, v0, lam_abs,

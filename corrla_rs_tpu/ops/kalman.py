@@ -84,12 +84,27 @@ def dlqr(a, b, q, r, n_iters: int = 200):
     identify -> estimate -> control.
     """
     a = jnp.asarray(a)
+    n = int(a.shape[0])
     b = jnp.asarray(b)
     if b.ndim == 1:
         b = b[:, None]
-    p = dare(a.T, b.T, jnp.asarray(q), jnp.asarray(r),
-             n_iters=n_iters)
-    s = _mm(_mm(b.T, p), b) + jnp.atleast_2d(jnp.asarray(r))
+    # validate with CONTROL-side names (errors surfacing from dare()
+    # would talk about 'c' on the transposed system) and broadcast
+    # scalar costs like kalman_filter broadcasts scalar covariances
+    if b.shape[0] != n:
+        raise ValueError(f"b must be ({n}, n_u), got {b.shape}")
+    n_u = int(b.shape[1])
+    q_mat = (float(q) * jnp.eye(n, dtype=a.dtype)
+             if np.ndim(q) == 0 else jnp.asarray(q))
+    r_mat = (float(r) * jnp.eye(n_u, dtype=a.dtype)
+             if np.ndim(r) == 0 else jnp.atleast_2d(jnp.asarray(r)))
+    if q_mat.shape != (n, n) or r_mat.shape != (n_u, n_u):
+        raise ValueError(
+            f"q must be ({n}, {n}) and r ({n_u}, {n_u}), got "
+            f"{q_mat.shape} / {r_mat.shape}"
+        )
+    p = dare(a.T, b.T, q_mat, r_mat, n_iters=n_iters)
+    s = _mm(_mm(b.T, p), b) + r_mat
     k_gain = jnp.linalg.solve(s, _mm(_mm(b.T, p), a))
     return k_gain, p
 

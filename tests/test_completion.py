@@ -65,3 +65,21 @@ def test_completion_validation(rng):
         matrix_complete(np.zeros((4, 4)), np.ones((4, 4)), 0)
     with pytest.raises(ValueError, match="no observed"):
         matrix_complete(np.zeros((4, 4)), np.zeros((4, 4)), 1)
+
+
+def test_nan_markers_and_int_input(rng):
+    # NaN is the canonical missing marker: must be ignored, not poison
+    l_true, mask = _problem(rng, frac=0.4)
+    m_nan = np.where(mask, l_true, np.nan)
+    m_hat, *_ , hist = matrix_complete(m_nan, mask, 4, n_sweeps=30,
+                                       lam=1e-10)
+    assert np.all(np.isfinite(np.asarray(m_hat)))
+    held = ~mask
+    err = np.linalg.norm((np.asarray(m_hat) - l_true)[held]) / \
+        np.linalg.norm(l_true[held])
+    assert err < 1e-6
+    # integer ratings input: promoted to float, no scan dtype crash
+    ratings = rng.integers(1, 6, size=(30, 20))
+    msk2 = rng.random((30, 20)) < 0.6
+    m_hat2, *_ = matrix_complete(np.where(msk2, ratings, 0), msk2, 3)
+    assert np.all(np.isfinite(np.asarray(m_hat2)))

@@ -17,10 +17,18 @@ def test_demo_sysid_runs():
         "jax.config.update('jax_enable_x64', True); "
         f"exec(open(r'{_REPO / 'examples' / 'demo_sysid.py'}').read())"
     )
-    res = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=600, cwd=str(_REPO),
-    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=900, cwd=str(_REPO),
+        )
+    except subprocess.TimeoutExpired as exc:  # cold-cache compiles can
+        import pytest                          # dominate on this 1-core host
+
+        pytest.fail(
+            "demo timed out (cold compile cache?); partial stdout:\n"
+            + str(exc.stdout)[-2000:]
+        )
     assert res.returncode == 0, res.stderr[-3000:]
     out = res.stdout
     assert "ERA/OKID identified poles" in out

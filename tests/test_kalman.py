@@ -140,3 +140,18 @@ def test_dlqr_matches_scipy_and_stabilizes(rng):
     assert np.max(np.abs(np.linalg.eigvals(a))) > 1
     cl = a - b @ np.asarray(k_gain)
     assert np.max(np.abs(np.linalg.eigvals(cl))) < 1
+
+
+def test_dlqr_scalar_costs_and_validation():
+    from corrla_rs_tpu import dlqr
+
+    a = np.array([[1.05, 0.3], [0.0, 0.9]])
+    b = np.array([[0.0], [1.0]])
+    k1, _ = dlqr(a, b, 1.0, 0.5)            # scalars broadcast
+    k2, _ = dlqr(a, b, np.eye(2), np.array([[0.5]]))
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                               rtol=1e-12)
+    with pytest.raises(ValueError, match="b must be"):
+        dlqr(a, np.zeros((3, 1)), 1.0, 1.0)
+    with pytest.raises(ValueError, match="q must be"):
+        dlqr(a, b, np.eye(3), 1.0)
