@@ -79,6 +79,48 @@ def _hermite_table(z: jnp.ndarray, order: int) -> jnp.ndarray:
     return jnp.stack(polys[: order + 1], axis=-1) * scale
 
 
+def _stieltjes_recurrence(z: np.ndarray, order: int):
+    """Three-term recurrence coefficients of the polynomials
+    ORTHONORMAL under the empirical measure of the samples ``z`` (n,)
+    — the discrete Stieltjes procedure (numerically robust, unlike
+    Hankel-moment approaches). Returns (a (order,), sb (order+1,)) with
+    sb[0] = 1 and the recurrence
+    p_{k+1} = ((z - a[k]) p_k - sb[k] p_{k-1}) / sb[k+1]."""
+    n = z.shape[0]
+    a = np.zeros(order)
+    sb = np.ones(order + 1)
+    p_prev = np.zeros(n)
+    p = np.ones(n)
+    for k in range(order):
+        a[k] = float(np.mean(z * p * p))
+        q = (z - a[k]) * p - sb[k] * p_prev
+        b_next = float(np.mean(q * q))
+        if b_next <= 1e-12:
+            raise ValueError(
+                f"data supports orthonormal polynomials only up to "
+                f"degree {k}; requested order {order} (need more "
+                f"distinct sample values)"
+            )
+        sb[k + 1] = np.sqrt(b_next)
+        p_prev, p = p, q / sb[k + 1]
+    return a, sb
+
+
+def _data_table(z: jnp.ndarray, rec_a: jnp.ndarray, rec_sb: jnp.ndarray,
+                order: int) -> jnp.ndarray:
+    """(n, d, order+1) table of the per-dimension data-driven
+    orthonormal polynomials from their Stieltjes recurrences
+    (rec_a (d, K), rec_sb (d, K+1), K >= order)."""
+    polys = [jnp.ones_like(z)]
+    if order >= 1:
+        polys.append((z - rec_a[None, :, 0]) / rec_sb[None, :, 1])
+    for k in range(1, order):
+        nxt = ((z - rec_a[None, :, k]) * polys[k]
+               - rec_sb[None, :, k] * polys[k - 1]) / rec_sb[None, :, k + 1]
+        polys.append(nxt)
+    return jnp.stack(polys[: order + 1], axis=-1)
+
+
 def _omp_loo(psi: np.ndarray, y: np.ndarray, max_terms: int):
     """Greedy forward selection (orthogonal matching pursuit) with exact
     corrected leave-one-out model selection.
@@ -141,16 +183,24 @@ class PolynomialChaos:
     """PCE surrogate with analytic moments and Sobol' indices.
 
     dist: "uniform" (inputs uniform on the box ``bounds``, Legendre
-    basis) or "gaussian" (inputs N(mean, std^2) per dim, Hermite basis —
-    pass ``mean``/``std`` arrays or let ``fit`` estimate them).
-    order: total polynomial degree. The basis has C(d + order, order)
-    terms; keep n_samples >= ~2-3x that for a stable regression fit.
+    basis), "gaussian" (inputs N(mean, std^2) per dim, Hermite basis —
+    pass ``mean``/``std`` arrays or let ``fit`` estimate them), or
+    "data" (ARBITRARY polynomial chaos, Oladyshkin-Nowak 2012: the
+    per-dimension basis is built orthonormal to the EMPIRICAL marginals
+    of the training inputs via discrete Stieltjes recurrences — no
+    distribution assumption; moments/Sobol' are then with respect to
+    the data distribution). All branches assume independent inputs
+    (product basis). order: total polynomial degree. The basis has
+    C(d + order, order) terms; keep n_samples >= ~2-3x that for a
+    stable regression fit.
     """
 
     def __init__(self, order: int, dist: str = "uniform", bounds=None,
                  mean=None, std=None):
-        if dist not in ("uniform", "gaussian"):
-            raise ValueError(f"dist must be 'uniform'|'gaussian', got {dist!r}")
+        if dist not in ("uniform", "gaussian", "data"):
+            raise ValueError(
+                f"dist must be 'uniform'|'gaussian'|'data', got {dist!r}"
+            )
         if dist == "uniform" and bounds is None:
             raise ValueError("dist='uniform' requires bounds (d, 2)")
         self.order = int(order)
@@ -172,12 +222,34 @@ class PolynomialChaos:
             self._std, x.dtype
         )
 
+    def _ensure_data_recurrences(self, x, up_to: int) -> None:
+        """(Re)build the per-dimension Stieltjes recurrences from the
+        TRAINING inputs when dist='data' and the stored depth is
+        insufficient. Orthonormality is with respect to the empirical
+        marginals of x (inputs assumed independent, as in the other
+        branches)."""
+        have = getattr(self, "_rec_a", None)
+        if have is not None and have.shape[1] >= up_to:
+            return
+        z = np.asarray(self._standardize(x), np.float64)
+        d = z.shape[1]
+        a = np.zeros((d, up_to))
+        sb = np.ones((d, up_to + 1))
+        for j in range(d):
+            a[j], sb[j] = _stieltjes_recurrence(z[:, j], up_to)
+        self._rec_a, self._rec_sb = a, sb
+
     def _basis(self, x: jnp.ndarray) -> jnp.ndarray:
         z = self._standardize(x)
-        table = (
-            _legendre_table(z, self.order) if self.dist == "uniform"
-            else _hermite_table(z, self.order)
-        )                                           # (n, d, order+1)
+        if self.dist == "uniform":
+            table = _legendre_table(z, self.order)
+        elif self.dist == "gaussian":
+            table = _hermite_table(z, self.order)
+        else:                                       # data-driven (aPC)
+            table = _data_table(
+                z, jnp.asarray(self._rec_a, z.dtype),
+                jnp.asarray(self._rec_sb, z.dtype), self.order,
+            )                                       # (n, d, order+1)
         # Psi[:, k] = prod_j table[:, j, alpha_k[j]] — advanced indexing
         # over the last two axes gathers an (n, P, d) block in one op
         alpha = jnp.asarray(self._alpha)            # (P, d)
@@ -191,13 +263,15 @@ class PolynomialChaos:
         y = jnp.asarray(y).reshape(-1)
         d = x.shape[1]
         self._alpha = total_degree_multi_indices(d, self.order)
-        if self.dist == "gaussian":
+        if self.dist in ("gaussian", "data"):
             # estimate mean and std INDEPENDENTLY (a user-provided std
             # must survive a None mean, and vice versa)
             if self._mean is None:
                 self._mean = np.asarray(jnp.mean(x, axis=0), np.float64)
             if self._std is None:
                 self._std = np.asarray(jnp.std(x, axis=0), np.float64)
+        if self.dist == "data":
+            self._ensure_data_recurrences(x, self.order)
         psi = self._basis(x)                        # (n, P)
         n, p = psi.shape
         if n < p:
@@ -260,7 +334,7 @@ class PolynomialChaos:
             raise ValueError("response has zero variance")
         if max_terms is None:
             max_terms = max(2, min(n - 2, n * 2 // 3))
-        if self.dist == "gaussian":
+        if self.dist in ("gaussian", "data"):
             if self._mean is None:
                 self._mean = np.asarray(jnp.mean(x, axis=0), np.float64)
             if self._std is None:
@@ -280,6 +354,15 @@ class PolynomialChaos:
                 break
             self.order = q
             self._alpha = alpha_full
+            if self.dist == "data":
+                try:
+                    self._ensure_data_recurrences(x, q)
+                except ValueError:
+                    # the data cannot support degree-q orthonormal
+                    # polynomials; stop growing and keep the best model
+                    if best is None:
+                        raise
+                    break
             psi = np.asarray(self._basis(x), np.float64)  # (n, P)
             sel, loo, coeffs = _omp_loo(psi, yh, max_terms)
             # the degree loop demands a REAL improvement (1%) to continue:

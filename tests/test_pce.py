@@ -233,3 +233,67 @@ def test_sparse_gaussian_and_noise(rng):
     st = np.asarray(out["st"])
     assert st[1] > 0.7 and st[4] > 0.15
     assert np.all(st[[0, 2, 3, 5, 6, 7]] < 0.02)
+
+
+def test_apc_data_driven_basis_orthonormal(rng):
+    # skewed non-gaussian inputs: the aPC basis must be orthonormal
+    # under the EMPIRICAL measure (Gram over training samples ~ I)
+    from corrla_rs_tpu.ops.pce import PolynomialChaos
+
+    x = rng.lognormal(0.0, 0.7, size=(4000, 2))
+    y = 1.0 + x[:, 0] + 0.5 * x[:, 1] ** 2
+    pce = PolynomialChaos(order=3, dist="data").fit(x, y)
+    # per-dimension 1-d bases are orthonormal under the empirical
+    # marginal BY CONSTRUCTION (machine-exact)
+    from corrla_rs_tpu.ops.pce import _data_table
+    import jax.numpy as jnp
+
+    z = np.asarray(pce._standardize(jnp.asarray(x)))
+    table = np.asarray(_data_table(
+        jnp.asarray(z), jnp.asarray(pce._rec_a), jnp.asarray(pce._rec_sb),
+        3))
+    for j in range(2):
+        g1 = table[:, j, :].T @ table[:, j, :] / x.shape[0]
+        np.testing.assert_allclose(g1, np.eye(4), atol=1e-10)
+    # tensor-product terms are orthonormal only in expectation under
+    # independence — heavy lognormal tails make the empirical Gram
+    # noisy, so assert loosely
+    psi = np.asarray(pce._basis(np.asarray(x)), np.float64)
+    gram = psi.T @ psi / x.shape[0]
+    np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=0.45)
+
+
+def test_apc_fits_lognormal_inputs_and_moments(rng):
+    from corrla_rs_tpu.ops.pce import PolynomialChaos
+
+    x = rng.lognormal(0.0, 0.5, size=(3000, 2))
+    y = 2.0 + 3.0 * x[:, 0] - x[:, 1] + 0.25 * x[:, 0] * x[:, 1]
+    pce = PolynomialChaos(order=2, dist="data").fit(x, y)
+    assert pce.r2 > 1 - 1e-10              # exact polynomial model
+    # orthonormal-basis moments match the sample moments of y
+    assert pce.mean == pytest.approx(float(y.mean()), rel=1e-2)
+    # var from sum-of-squares assumes exact product orthonormality,
+    # which holds only asymptotically — a few % at this sample size
+    assert pce.var == pytest.approx(float(y.var()), rel=0.05)
+    # interaction term shows in total-order Sobol for both dims
+    s = pce.sobol_indices()
+    assert float(s["st"][0]) > float(s["s1"][0])
+
+
+def test_apc_degree_guard_and_sparse(rng):
+    from corrla_rs_tpu.ops.pce import PolynomialChaos
+
+    # binary inputs support only degree-1 orthonormal polynomials
+    xb = rng.integers(0, 2, size=(200, 2)).astype(float)
+    with pytest.raises(ValueError, match="up to degree 1"):
+        PolynomialChaos(order=3, dist="data").fit(
+            xb, xb[:, 0] + xb[:, 1])
+    # sparse adaptive selection works on data-driven bases
+    x = rng.lognormal(0.0, 0.4, size=(400, 6))
+    y = 1.0 + 2.0 * x[:, 1] + 0.5 * x[:, 3] ** 2
+    pce = PolynomialChaos(order=2, dist="data").fit_sparse(x, y)
+    assert pce.loo_error < 1e-8
+    s = pce.sobol_indices()
+    st = np.asarray(s["st"])
+    assert st[1] > 0.1 and st[3] > 0.05
+    assert np.all(st[[0, 2, 4, 5]] < 1e-6)
