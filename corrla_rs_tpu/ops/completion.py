@@ -61,14 +61,17 @@ def _als_sweeps(m_obs, mask, u, v, lam, n_sweeps):
 
 
 def matrix_complete(m_data, mask, rank: int, n_sweeps: int = 30,
-                    lam: float = 1e-6, key=0):
+                    lam: float = 1e-6, key=0, mesh=None):
     """Complete a partially observed matrix at the given rank.
 
     m_data: (m, n) with arbitrary values at UNOBSERVED positions (they
     are ignored); mask: (m, n) boolean/0-1 of observed entries;
     rank: model rank r; lam: ridge (relative to the observed scale —
     scaled internally by the observed mean square); n_sweeps: ALS
-    sweeps (convergence is fast; inspect the returned history).
+    sweeps (convergence is fast; inspect the returned history);
+    mesh: optional 1-D jax.sharding.Mesh — rows of m/mask shard across
+    devices (the U update is row-local; the V update's per-column
+    Grams contract over the row axis, one psum under GSPMD).
 
     Returns (m_hat, u, v, rmse_hist): the completed matrix U V^T, its
     factors, and the per-sweep observed-entry RMSE.
@@ -95,6 +98,11 @@ def matrix_complete(m_data, mask, rank: int, n_sweeps: int = 30,
     # where(), not m * msk: NaN is the canonical missing-data marker
     # and NaN * 0 = NaN would poison everything downstream
     m_obs = jnp.where(msk != 0, m, 0.0)
+    if mesh is not None:
+        from corrla_rs_tpu.parallel.mesh import shard_rows
+
+        m_obs = shard_rows(m_obs, mesh)
+        msk = shard_rows(msk, mesh)
     # absolute ridge from the relative one: observed mean square sets
     # the scale so lam behaves the same across data magnitudes
     scale = float(jnp.sum(m_obs * m_obs)) / max(

@@ -83,3 +83,16 @@ def test_nan_markers_and_int_input(rng):
     msk2 = rng.random((30, 20)) < 0.6
     m_hat2, *_ = matrix_complete(np.where(msk2, ratings, 0), msk2, 3)
     assert np.all(np.isfinite(np.asarray(m_hat2)))
+
+
+def test_sharded_same_answer(rng):
+    from corrla_rs_tpu.parallel.mesh import make_mesh
+
+    l_true, _ = _problem(rng, m=160, n=48, frac=0.45)
+    mask = rng.random((160, 48)) < 0.45
+    m_in = np.where(mask, l_true, 0.0)
+    h1, *_ = matrix_complete(m_in, mask, 4, n_sweeps=25, key=2)
+    h8, *_ = matrix_complete(m_in, mask, 4, n_sweeps=25, key=2,
+                             mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(h8), np.asarray(h1),
+                               rtol=1e-8, atol=1e-10)
