@@ -140,13 +140,17 @@ class Spod:
 
 def spod(x_data, n_fft: int = 128, overlap: float = 0.5,
          dt: float = 1.0, window: str = "hann",
-         n_modes: int | None = None, mesh=None) -> Spod:
+         n_modes: int | None = None, weights=None, mesh=None) -> Spod:
     """Spectral POD of snapshot columns x_data (n_x, n_t).
 
     n_fft: Welch block length (frequency resolution 1/(n_fft dt));
     overlap: fractional block overlap in [0, 1); dt: sample spacing;
     window: 'hann' or 'boxcar'; n_modes: modes kept per frequency
-    (default: all n_blocks); mesh: optional 1-D jax.sharding.Mesh —
+    (default: all n_blocks); weights: optional (n_x,) positive spatial
+    quadrature weights W (non-uniform grids / cell volumes — the
+    Schmidt-Colonius practice): modes come back W-orthonormal
+    (Phi^H diag(W) Phi = I) and energies integrate with W; mesh:
+    optional 1-D jax.sharding.Mesh —
     rows of x shard across devices (blocks/DFT/mode-lift stay
     device-local; only the B x B cross-spectral Grams reduce over the
     row axis, which GSPMD lowers to one psum per part), so spatial
@@ -191,6 +195,19 @@ def spod(x_data, n_fft: int = 128, overlap: float = 0.5,
     # (W = mean squared window) => lambda has PSD units; DC/Nyquist
     # keep the one-sided doubling off
     w_pow = float(np.sum(w_np ** 2))
+    # weighted inner product: run the whole pipeline on sqrt(W) x —
+    # the CSD/eigvals are then W-weighted — and unweight the lifted
+    # modes at the end so they are W-orthonormal in physical units
+    sqrt_w = None
+    if weights is not None:
+        w_arr = np.asarray(weights, np.float64).reshape(-1)
+        if w_arr.shape[0] != n_x or np.any(w_arr <= 0):
+            raise ValueError(
+                f"weights must be (n_x={n_x},) positive, got "
+                f"shape {w_arr.shape}"
+            )
+        sqrt_w = np.sqrt(w_arr)
+        x = x * jnp.asarray(sqrt_w, x.dtype)[:, None]
     if mesh is not None:
         from corrla_rs_tpu.parallel.mesh import shard_rows
 
@@ -230,6 +247,11 @@ def spod(x_data, n_fft: int = 128, overlap: float = 0.5,
         jnp.asarray(np.ascontiguousarray(v_all.imag), dt_),
         jnp.asarray(scale, dt_),
     )
+    if sqrt_w is not None:
+        # back to physical units: modes W-orthonormal, not 2-orthonormal
+        inv = jnp.asarray(1.0 / sqrt_w, dt_)[None, :, None]
+        p_re = p_re * inv
+        p_im = p_im * inv
     # undo the one-sided doubling at DC (and Nyquist for even n_fft)
     fix = np.ones(n_fft // 2 + 1)
     fix[0] = 0.5

@@ -170,3 +170,28 @@ def test_spod_validation_and_checkpoint(tmp_path, rng):
                                np.asarray(fit.energies), atol=1e-12)
     np.testing.assert_allclose(np.asarray(fit2.modes_re),
                                np.asarray(fit.modes_re), atol=1e-12)
+
+
+def test_spod_weighted_inner_product(rng):
+    # non-uniform quadrature weights: modes come back W-orthonormal,
+    # and on a uniform-weight vector the result equals the unweighted
+    # path exactly
+    n_x, n_t, n_fft = 12, 2048, 64
+    x = rng.standard_normal((n_x, n_t))
+    w = rng.uniform(0.2, 3.0, n_x)
+    fit = spod(x, n_fft=n_fft, n_modes=4, weights=w)
+    for bin_i in (3, 17):
+        phi = (np.asarray(fit.modes_re[bin_i])
+               + 1j * np.asarray(fit.modes_im[bin_i]))
+        gram = phi.conj().T @ (w[:, None] * phi)
+        np.testing.assert_allclose(gram, np.eye(4), atol=1e-8)
+    uni = spod(x, n_fft=n_fft, n_modes=4, weights=np.ones(n_x))
+    ref = spod(x, n_fft=n_fft, n_modes=4)
+    np.testing.assert_allclose(np.asarray(uni.energies),
+                               np.asarray(ref.energies), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(uni.modes_re),
+                               np.asarray(ref.modes_re), atol=1e-10)
+    with pytest.raises(ValueError, match="weights"):
+        spod(x, n_fft=n_fft, weights=np.ones(5))
+    with pytest.raises(ValueError, match="weights"):
+        spod(x, n_fft=n_fft, weights=-np.ones(n_x))
