@@ -103,8 +103,9 @@ class PodI:
         """y(t) = sum_i w_i(t) phi_i. Parity with pod_rom.rs:107-118.
 
         Accepts (n_query, t_dim); returns (n_points, n_query) — for a single
-        query row this matches the reference's (n_points, 1) output.
+        query row this matches the reference's (n_points, 1) output. A 1-D
+        input is treated as one query point of dimension len(t_query).
         """
-        tq = jnp.asarray(t_query)
+        tq = jnp.atleast_2d(jnp.asarray(t_query))
         w = rbf_predict(self.t_abscissa, self._rbf_coeffs, tq, "linear", 1.0, 1)
         return jnp.matmul(self.modes, w.T, precision=PRECISION)

@@ -5,24 +5,60 @@ can take minutes for gnarly programs (measured: 375 s for the rejection
 sampler's first call; 79 s for jax.random.dirichlet at 1e6). The persistent
 cache makes every later process start warm.
 
+The cache directory is scoped by a hash of (jax version, host CPU feature
+flags): XLA:CPU persists AOT-compiled machine code, and an entry compiled
+on a host with e.g. AMX/AVX-512 extensions the current host lacks can
+SIGILL at execution (cpu_aot_loader warns about exactly this). Keying the
+directory means a cache populated under different machine features is
+simply never seen, rather than loaded-and-warned-about (VERDICT r3 item 4).
+
 Note the cpu_aot_loader "machine feature +prefer-no-scatter is not
 supported" warnings printed when entries load on CPU: they are SPURIOUS
-(the compiler records LLVM tuning preferences for this CPU model; the
-loader's feature detector only lists hardware flags) and appear even for
-entries this very process wrote. They do not indicate foreign or corrupt
-entries.
+for SAME-host entries (verified 2026-08-18: a fresh cache written and
+re-read by the same process config still warns — the compiler records
+LLVM tuning preferences like +prefer-no-scatter/+prefer-no-gather that
+the loader's hardware-flag detector can never report). They do not
+indicate foreign or corrupt entries; with the feature-keyed directory,
+foreign entries are impossible, so subprocess lanes additionally set
+TF_CPP_MIN_LOG_LEVEL=3 to drop the known-noise class.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 
 import jax
 
-__all__ = ["enable_persistent_cache"]
+__all__ = ["enable_persistent_cache", "host_feature_tag"]
+
+
+def host_feature_tag() -> str:
+    """Short hash of (jax version, host CPU feature flags).
+
+    Reads the first ``flags:`` line of /proc/cpuinfo (Linux). On platforms
+    without it, falls back to ``platform.machine()`` so the tag still
+    separates architectures.
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.machine()
+    h = hashlib.sha256(f"{jax.__version__}|{flags}".encode()).hexdigest()
+    return h[:12]
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
-    path = path or os.path.expanduser("~/.cache/jax_comp_cache")
+    if path is None:
+        path = os.path.expanduser(
+            "~/.cache/jax_comp_cache-" + host_feature_tag()
+        )
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
