@@ -52,7 +52,7 @@ def _emit(metric: str, value: float, unit: str, vs) -> None:
         "metric": metric,
         "value": round(value, 6),
         "unit": unit,
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": round(vs, 2) if vs is not None else None,
     }), flush=True)
 
 
@@ -148,36 +148,64 @@ def bench_headline_rsvd(a, baseline) -> None:
           (baseline / wall) if baseline else None)
 
 
-def _require_live_device(timeout_s: float = 180.0) -> None:
-    """Fail fast (loudly) when the TPU tunnel is dead.
+def _require_live_device(
+    probe_timeout_s: float = 90.0, window_s: float = 900.0
+) -> None:
+    """Retry device probes over a bounded window; exit loudly if all fail.
 
-    Device enumeration through the axon tunnel has been observed to
-    hang INDEFINITELY during outages (2026-08-17: >4 h). A hung bench
-    looks like a driver stall; a clear error names the real problem.
-    The probe runs in a daemon thread so a hang cannot block the
-    watchdog."""
+    Device enumeration through the axon tunnel has been observed to hang
+    INDEFINITELY during outages (2026-08-17: >4 h; BENCH_r03 carried no
+    metric). A hung bench looks like a driver stall; a clear error names
+    the real problem. A flaky-but-alive tunnel gets up to ``window_s``
+    of retries before the bench gives up (VERDICT r3 item 2).
+
+    Each probe is a SUBPROCESS, not a thread: a probe thread that hangs
+    inside backend init would hold this process's jax init lock forever,
+    so no later in-process probe could ever succeed — a subprocess probe
+    is fully isolated and dies with its timeout, and only after one
+    succeeds does this process initialize its own backend.
+    """
+    import subprocess
     import sys
-    import threading
 
-    result: list = []
-
-    def probe():
+    deadline = time.monotonic() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        status = None
         try:
-            result.append(len(jax.devices()))
-        except Exception as exc:  # surface init errors as text
-            result.append(f"error: {exc}")
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if not result or not isinstance(result[0], int):
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if proc.returncode == 0 and int(proc.stdout.strip() or 0) > 0:
+                if attempt > 1:
+                    print(
+                        f"bench.py: device backend live on attempt "
+                        f"{attempt}", file=sys.stderr, flush=True,
+                    )
+                return
+            status = f"error: {(proc.stderr or proc.stdout)[-300:]}"
+        except subprocess.TimeoutExpired:
+            status = f"hang > {probe_timeout_s:.0f} s"
+        except (OSError, ValueError) as exc:
+            status = f"error: {exc}"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(
+                f"bench.py: device backend unavailable after {attempt} "
+                f"probes over {window_s:.0f} s ({status}) — the axon TPU "
+                "tunnel is likely down; no metric emitted",
+                file=sys.stderr, flush=True,
+            )
+            raise SystemExit(3)
         print(
-            f"bench.py: device backend unavailable "
-            f"({'hang > %.0f s' % timeout_s if not result else result[0]})"
-            " — the axon TPU tunnel is likely down; no metric emitted",
+            f"bench.py: device probe {attempt} failed ({status}); "
+            f"retrying ({remaining:.0f} s left in window)",
             file=sys.stderr, flush=True,
         )
-        raise SystemExit(3)
+        time.sleep(min(60.0, max(1.0, remaining)))
 
 
 def main():

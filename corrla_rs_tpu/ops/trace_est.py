@@ -64,7 +64,7 @@ def hutchinson_trace(a, n_probes: int = 64, key=0) -> float:
 
 
 def hutchpp_trace(a, n_probes: int = 64, key=0,
-                  n_dim: int | None = None, dtype=jnp.float64) -> float:
+                  n_dim: int | None = None, dtype=None) -> float:
     """Hutch++ estimate of tr(A) with a total budget of ``n_probes``
     operator-block applications' worth of probes (split 1/3 sketch,
     1/3 range refinement via QR, 1/3 residual Hutchinson, as in the
@@ -77,13 +77,16 @@ def hutchpp_trace(a, n_probes: int = 64, key=0,
         if n_dim is None:
             raise ValueError("callable operators need n_dim=")
         n = int(n_dim)
-        dt = dtype
+        # Respect the session's x64 config instead of assuming f64:
+        # under default f32 jax, a hard jnp.float64 default would
+        # silently downgrade with a warning (ADVICE r3).
+        dt = dtype if dtype is not None else jnp.result_type(float)
     else:
         a = jnp.asarray(a)
         if a.ndim != 2 or a.shape[0] != a.shape[1]:
             raise ValueError(f"a must be square, got {np.shape(a)}")
         n = int(a.shape[0])
-        dt = a.dtype
+        dt = a.dtype if dtype is None else dtype
     k = max(int(n_probes) // 3, 1)
     k_sketch, k_resid = split_key(key)
     s = _rademacher(k_sketch, (n, k), dt)

@@ -20,6 +20,7 @@ from corrla_rs_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 enable_persistent_cache()
 
 import os  # noqa: E402
+import sys  # noqa: E402
 
 # The full suite compiles/loads thousands of XLA:CPU executables in one
 # process; each holds JIT code segments in separate mmaps. At the kernel
@@ -31,14 +32,24 @@ import os  # noqa: E402
 #  1. raise the limit when we can (root);
 #  2. drop references to compiled executables between test modules so
 #     the map count stays bounded (re-JITs hit the persistent cache).
-try:
-    with open("/proc/sys/vm/max_map_count") as _f:
-        _cur = int(_f.read())
-    if _cur < 1_000_000:
-        with open("/proc/sys/vm/max_map_count", "w") as _f:
-            _f.write("1048576")
-except OSError:
-    pass  # not root / not Linux: fixture below still bounds the maps
+# NOTE: this is a PERSISTENT, SYSTEM-WIDE kernel setting change (when run
+# as root). It is required for full-suite runs on low-limit hosts, but can
+# be disabled with CORRLA_RAISE_MAP_COUNT=0; the autouse jax.clear_caches()
+# fixture below still bounds map usage without it (ADVICE r3).
+if os.environ.get("CORRLA_RAISE_MAP_COUNT", "1") != "0":
+    try:
+        with open("/proc/sys/vm/max_map_count") as _f:
+            _cur = int(_f.read())
+        if _cur < 1_000_000:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("1048576")
+            sys.stderr.write(
+                "conftest: raised system-wide vm.max_map_count "
+                f"{_cur} -> 1048576 (persistent; set "
+                "CORRLA_RAISE_MAP_COUNT=0 to skip)\n"
+            )
+    except OSError:
+        pass  # not root / not Linux: fixture below still bounds the maps
 
 if os.environ.get("CORRLA_CACHE_TRACE"):
     # Debug aid: log every persistent-cache key just before the native
