@@ -96,12 +96,20 @@ def _cp_sweeps(t, factors, n_sweeps):
 
 
 def cp_als(tensor, rank: int, n_sweeps: int = 50, key=0,
-           init: str = "svd"):
+           init: str = "svd", mesh=None):
     """Rank-``rank`` CP/PARAFAC fit of a d-way tensor by ALS.
 
     init: 'svd' (default — factors start from each unfolding's leading
     left singular vectors, the standard swamp-avoiding initialization;
     random init can stall in local minima) or 'random'.
+
+    mesh: optional 1-D jax.sharding.Mesh — the tensor is sharded along
+    axis 0 (the tall snapshot/sample mode) and factor 0 rides the same
+    sharding. Mode-0 MTTKRP stays device-local; every other mode's
+    MTTKRP contracts the sharded axis, so GSPMD inserts one psum of an
+    (I_k, R) partial per update — the small R x R Hadamard-Gram solves
+    replicate. Same psum-Gram contract as parallel/sharded_hosvd.py
+    (SURVEY §2.2; VERDICT r3 item 5).
 
     Returns (weights, factors, fits): ``weights`` (R,) positive scales
     (factors column-normalized, largest component first), ``factors``
@@ -146,6 +154,11 @@ def cp_als(tensor, rank: int, n_sweeps: int = 50, key=0,
                 )
                 u = jnp.concatenate([u, pad], axis=1)
             factors.append(u)
+    if mesh is not None:
+        from corrla_rs_tpu.parallel.mesh import shard_rows
+
+        t = shard_rows(t, mesh)
+        factors = [shard_rows(factors[0], mesh)] + factors[1:]
     factors, fits = _cp_sweeps(t, factors, int(n_sweeps))
     # normalize: push column norms into weights, sort descending
     norms = [jnp.linalg.norm(f, axis=0) for f in factors]

@@ -57,11 +57,17 @@ def _nmf_sweeps(x, w, h, n_sweeps):
     return w, h, errs
 
 
-def nmf(x_data, rank: int, n_sweeps: int = 200, key=0):
+def nmf(x_data, rank: int, n_sweeps: int = 200, key=0, mesh=None):
     """Nonnegative factorization X ~= W H (W (m, r), H (r, n) >= 0).
 
     Returns (w, h, rel_errs) with rel_errs the per-sweep relative
     Frobenius reconstruction error (non-increasing up to roundoff).
+
+    mesh: optional 1-D jax.sharding.Mesh — X and W shard along the tall
+    m axis, H replicates. The W-side HALS Grams (X H^T, H H^T) are
+    device-local; the H-side Grams (W^T X, W^T W) contract the sharded
+    axis, so GSPMD inserts one (r, n)+(r, r) psum per sweep — the same
+    psum-Gram contract as parallel/sharded_hosvd.py (VERDICT r3 item 5).
     """
     x = jnp.asarray(x_data)
     if x.ndim != 2:
@@ -73,7 +79,13 @@ def nmf(x_data, rank: int, n_sweeps: int = 200, key=0):
         raise ValueError(
             f"rank must be in [1, min(m, n)], got {rank}"
         )
-    # NNDSVD init: sign-split the leading singular factors
+    if mesh is not None:
+        from corrla_rs_tpu.parallel.mesh import shard_rows
+
+        x = shard_rows(x, mesh)
+    # NNDSVD init: sign-split the leading singular factors (on a sharded
+    # x the power-iteration Grams psum under GSPMD; the (m, r)/(r, n)
+    # factors are assembled on host once — init-only cost)
     u, s, vt = random_svd(x, r, 6, min(8, int(min(x.shape))), key=key)
     u_np = np.asarray(u, np.float64)
     s_np = np.asarray(s, np.float64)
@@ -101,8 +113,11 @@ def nmf(x_data, rank: int, n_sweeps: int = 200, key=0):
     fill = float(np.asarray(jnp.mean(x)))
     w0[w0 == 0] = fill
     h0[h0 == 0] = fill
-    w, h, errs = _nmf_sweeps(
-        x, jnp.asarray(w0, x.dtype), jnp.asarray(h0, x.dtype),
-        int(n_sweeps),
-    )
+    w0_j = jnp.asarray(w0, x.dtype)
+    h0_j = jnp.asarray(h0, x.dtype)
+    if mesh is not None:
+        from corrla_rs_tpu.parallel.mesh import shard_rows
+
+        w0_j = shard_rows(w0_j, mesh)
+    w, h, errs = _nmf_sweeps(x, w0_j, h0_j, int(n_sweeps))
     return w, h, errs
