@@ -97,6 +97,14 @@ def cs_mcmc_dirichlet_sample(bounds, n_samples: int, n_seed_samples: int,
     x uniform box prior -> simplex-renormalizing proposal fixup -> parallel
     DEMC -> (interleaved samples, acceptance ratio). Seeds form the chains
     (one chain per seed), so n_seed_samples >= 3.
+
+    Small populations (n_seed_samples below the sampler routing threshold)
+    with an integer seed run the compiled C++ host pipeline
+    (native.demc_dirichlet_host): at reference scale (12 chains x 3000
+    samples) per-generation dispatch overhead dominates any backend, and
+    the host sampler matches the reference's own compiled-loop wall
+    (measured ~31 ms vs 0.55 s routed-JAX on the round-3 host). Same
+    statistical contract; draws differ from the JAX path (different RNG).
     """
     import numpy as np
 
@@ -109,11 +117,35 @@ def cs_mcmc_dirichlet_sample(bounds, n_samples: int, n_seed_samples: int,
     )
     from corrla_rs_tpu.utils.prng import split_key
 
-    k_seed, k_mcmc = split_key(seed)
     # host numpy: the array is only consumed as trace-time constants and
     # by the (internally routed) samplers — a jnp constant here would
     # cost an accelerator dispatch per call
     bounds = np.asarray(bounds, dtype=np.float64)
+    from corrla_rs_tpu import native
+    from corrla_rs_tpu.utils.smallpath import (
+        SAMPLER_CHAINS,
+        small_path_threshold,
+    )
+
+    if (
+        isinstance(seed, (int, np.integer))
+        and int(n_seed_samples) < SAMPLER_CHAINS
+        and small_path_threshold() > 0
+        and native.available()
+    ):
+        seeds = native.cs_dirichlet_rejection_host(
+            bounds, int(n_seed_samples), int(max_zshots), int(chunk_size),
+            float(c_scale), alphas, seed=int(seed) * 2 + 1,
+        )
+        samples, ar = native.demc_dirichlet_host(
+            bounds, seeds, int(n_samples), gamma=float(gamma),
+            var_epsilon=float(var_epsilon), c_scale=float(c_scale),
+            alphas=np.ones(bounds.shape[0]),  # Dirichlet(1) target
+            seed=int(seed) * 2 + 2,
+        )
+        return samples, ar
+
+    k_seed, k_mcmc = split_key(seed)
     seeds = constr_dirichlet_sample(
         bounds, n_seed_samples, max_zshots, chunk_size, c_scale, alphas,
         key=k_seed,
