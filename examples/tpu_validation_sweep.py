@@ -1,0 +1,450 @@
+"""On-chip validation sweep of the round-3 surface (VERDICT r3 item 3).
+
+Runs each round-3 family ONCE on the real TPU (axon default backend) at
+small-but-honest shapes and asserts f32 sanity against a CPU/f64 oracle
+computed in-process with numpy. CPU-green is not TPU-correct for this
+class of f32 numerics — round 3's DMDc tiny-contraction cliff (0.69 abs
+err from a silently downgraded HIGHEST matmul) is the proof — so every
+family must execute on the chip at least once per round.
+
+Output: one markdown table row per family (wall, error metric, PASS/FAIL)
+suitable for pasting into BASELINE.md. Exit code 1 if any family fails,
+3 if the tunnel is dead (same convention as bench.py).
+
+Usage:  timeout 1800 python examples/tpu_validation_sweep.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+# runnable as `python examples/tpu_validation_sweep.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+try:
+    from corrla_rs_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+except Exception:
+    pass
+
+import numpy as np
+
+
+def _require_tpu(timeout_s: float = 90.0) -> None:
+    import os
+    import subprocess
+
+    if os.environ.get("CORRLA_SWEEP_ALLOW_CPU"):
+        # shake-out mode: run the stages on the in-process CPU backend
+        # (must be set before the first backend use)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        plat = (proc.stdout or "").strip()
+        if proc.returncode == 0 and plat not in ("cpu", ""):
+            return
+        print(f"validation sweep: default backend is {plat!r}, not a TPU "
+              "— run on the axon host", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("validation sweep: device probe hung — tunnel down",
+              file=sys.stderr)
+    raise SystemExit(3)
+
+
+RESULTS = []
+
+
+def stage(name):
+    def deco(fn):
+        fn._stage_name = name
+        RESULTS.append(fn)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# fixtures (numpy f64 ground truth; f32 copies go to the device)
+# ---------------------------------------------------------------------------
+RNG = np.random.default_rng(42)
+
+
+def lowrank(n, m, r, noise=0.0):
+    a = RNG.standard_normal((n, r)) @ RNG.standard_normal((r, m))
+    if noise:
+        a += noise * RNG.standard_normal((n, m))
+    return a
+
+
+@stage("streaming gram/cov")
+def s_streaming_gram():
+    from corrla_rs_tpu.ops.streaming import streamed_cov, streamed_gram
+
+    a = lowrank(4096, 24, 8, 0.1)
+    g, _sums, _n = streamed_gram(a.astype(np.float32), block_rows=1024)
+    g = np.asarray(g)
+    cov = np.asarray(streamed_cov(a.astype(np.float32), block_rows=1024))
+    g_ref = a.T @ a
+    c_ref = np.cov(a, rowvar=False)
+    return max(
+        np.max(np.abs(g - g_ref)) / np.max(np.abs(g_ref)),
+        np.max(np.abs(cov - c_ref)) / np.max(np.abs(c_ref)),
+    ), 1e-4
+
+
+@stage("streaming power-iter rsvd")
+def s_streaming_rsvd():
+    from corrla_rs_tpu.ops.streaming import streamed_random_svd
+
+    a = lowrank(4096, 32, 6)
+    _u, s, _vt = streamed_random_svd(
+        a.astype(np.float32), 4, 6, 4, key=1, block_rows=1024
+    )
+    s_ref = np.linalg.svd(a, compute_uv=False)[:4]
+    return float(np.max(np.abs(np.asarray(s) - s_ref) / s_ref)), 1e-4
+
+
+@stage("streaming single-pass svd")
+def s_streaming_single_pass():
+    from corrla_rs_tpu.ops.streaming import streamed_single_pass_svd
+
+    a = lowrank(4096, 32, 4)
+    _u, s, _vt = streamed_single_pass_svd(
+        a.astype(np.float32), 4, 8, key=2, block_rows=1024
+    )
+    s_ref = np.linalg.svd(a, compute_uv=False)[:4]
+    return float(np.max(np.abs(np.asarray(s) - s_ref) / s_ref)), 5e-3
+
+
+@stage("spod")
+def s_spod():
+    from corrla_rs_tpu.models.spod import spod
+
+    t = np.arange(512) * 0.1
+    x = np.sin(2 * np.pi * 0.5 * t)[None, :] * RNG.standard_normal(
+        (16, 1)
+    ) + 0.05 * RNG.standard_normal((16, 512))
+    f = spod(x.astype(np.float32), n_fft=64, overlap=0.5, n_modes=2)
+    e = np.asarray(f.energies)
+    # the 0.5 Hz line (bin 0.5/(1/(64*0.1)) = 3.2 -> peak near bin 3)
+    peak = int(np.argmax(e[:, 0]))
+    ok = abs(peak - 3) <= 1 and np.all(np.isfinite(e))
+    return (0.0 if ok else 1.0), 0.5
+
+
+@stage("era/okid")
+def s_era_okid():
+    from corrla_rs_tpu.models.era import era_okid
+
+    # stable 2-state SISO system
+    a = np.array([[0.9, 0.2], [0.0, 0.7]])
+    b = np.array([[1.0], [0.5]])
+    c = np.array([[1.0, -0.4]])
+    d = np.array([[0.1]])
+    n = 400
+    u = RNG.standard_normal((1, n))
+    x = np.zeros((2,))
+    y = np.zeros((1, n))
+    for k in range(n):
+        y[:, k] = c @ x + d @ u[:, k]
+        x = a @ x + b @ u[:, k]
+    fit = era_okid(u.astype(np.float32), y.astype(np.float32), rank=2,
+                   n_markov=30)
+    # compare predicted markov params (impulse response)
+    a_h, b_h, c_h = (np.asarray(fit.a), np.asarray(fit.b),
+                     np.asarray(fit.c))
+    d_h = np.atleast_2d(np.asarray(fit.d))
+    errs = [abs(float(d_h[0, 0]) - 0.1)]
+    ak = np.eye(2)
+    akh = np.eye(a_h.shape[0])
+    for _ in range(12):
+        errs.append(abs(float(c_h @ akh @ b_h) - float(c @ ak @ b)))
+        ak = a @ ak
+        akh = a_h @ akh
+    return float(np.max(errs)), 5e-2
+
+
+@stage("kalman filter+smoother")
+def s_kalman():
+    from corrla_rs_tpu.ops.kalman import kalman_filter, kalman_smooth
+
+    a = np.array([[1.0, 0.1], [0.0, 1.0]])
+    b = np.zeros((2, 1))
+    c = np.array([[1.0, 0.0]])
+    d = np.zeros((1, 1))
+    q = 0.01 * np.eye(2)
+    r = np.array([[0.25]])
+    n = 200
+    x = np.zeros(2)
+    xs = np.zeros((n, 2))
+    ys = np.zeros((1, n))          # (n_y, T) layout
+    for k in range(n):
+        x = a @ x + RNG.multivariate_normal(np.zeros(2), q)
+        xs[k] = x
+        ys[0, k] = (c @ x)[0] + RNG.normal(0, 0.5)
+    u = np.zeros((1, n))           # (n_u, T)
+    mats = tuple(m.astype(np.float32) for m in (a, b, c, d, q, r))
+    filt = kalman_filter(*mats, u.astype(np.float32),
+                         ys.astype(np.float32))
+    sm = kalman_smooth(*mats, u.astype(np.float32), ys.astype(np.float32))
+    xf = np.asarray(filt["x_filt"])     # (n_state, T)
+    xsm = np.asarray(sm["x_smooth"])
+    rms_f = float(np.sqrt(np.mean((xf[0] - xs[:, 0]) ** 2)))
+    rms_s = float(np.sqrt(np.mean((xsm[0] - xs[:, 0]) ** 2)))
+    raw = float(np.sqrt(np.mean((ys[0] - xs[:, 0]) ** 2)))
+    ok = rms_f < raw and rms_s <= rms_f * 1.05 and np.isfinite(rms_s)
+    return (0.0 if ok else max(rms_f, rms_s)), 0.5
+
+
+@stage("rvine fit+sample")
+def s_rvine():
+    from corrla_rs_tpu.ops.rvine import RVineCopula
+    from corrla_rs_tpu.ops.vine import kendall_tau
+
+    z = RNG.standard_normal((800, 3))
+    x0 = z[:, 0]
+    x1 = 0.85 * x0 + np.sqrt(1 - 0.7225) * z[:, 1]
+    x2 = 0.8 * x1 + np.sqrt(1 - 0.64) * z[:, 2]
+    data = np.stack([x0, x1, x2], axis=1).astype(np.float32)
+    m = RVineCopula().fit(data)
+    s = np.asarray(m.sample(1500, key=1))
+    td = float(kendall_tau(data[:, 0], data[:, 1]))
+    ts = float(kendall_tau(s[:, 0], s[:, 1]))
+    return abs(td - ts), 0.1
+
+
+@stage("cp als")
+def s_cp():
+    from corrla_rs_tpu.ops.cp import cp_als
+
+    a = RNG.standard_normal((48, 3))
+    b = RNG.standard_normal((6, 3))
+    c = RNG.standard_normal((5, 3))
+    t = np.einsum("ir,jr,kr->ijk", a, b, c)
+    _w, _f, fits = cp_als(t.astype(np.float32), 3, n_sweeps=30, key=1)
+    return float(1.0 - fits[-1]), 5e-3  # f32 fit floor ~1e-3
+
+
+@stage("nmf hals")
+def s_nmf():
+    from corrla_rs_tpu.ops.nmf import nmf
+
+    x = RNG.uniform(0, 1, (80, 4)) @ RNG.uniform(0, 1, (4, 10))
+    _w, _h, errs = nmf(x.astype(np.float32), 4, n_sweeps=150, key=2)
+    return float(errs[-1]), 2e-2  # HALS converges slowly; cliff detector
+
+
+@stage("matrix completion")
+def s_completion():
+    from corrla_rs_tpu.ops.completion import matrix_complete
+
+    m = lowrank(96, 12, 2)
+    mask = RNG.uniform(size=m.shape) < 0.6
+    l_hat, _u, _v, _hist = matrix_complete(
+        (m * mask).astype(np.float32), mask, 2, n_sweeps=40, key=3
+    )
+    err = np.linalg.norm(np.asarray(l_hat) - m) / np.linalg.norm(m)
+    return float(err), 5e-2
+
+
+@stage("robust pca")
+def s_rpca():
+    from corrla_rs_tpu.ops.robust_pca import robust_pca
+
+    l_true = lowrank(96, 12, 2)
+    s_true = np.zeros_like(l_true)
+    idx = RNG.choice(l_true.size, size=l_true.size // 20, replace=False)
+    s_true.flat[idx] = 5.0 * RNG.standard_normal(idx.size)
+    l_hat, _s, _info = robust_pca((l_true + s_true).astype(np.float32),
+                                  max_iter=100, tol=1e-6)
+    err = np.linalg.norm(np.asarray(l_hat) - l_true) / np.linalg.norm(l_true)
+    return float(err), 1e-1  # partial recovery on this aspect; cliff detector
+
+
+@stage("spdmd")
+def s_spdmd():
+    from corrla_rs_tpu.models.dmd import DMD
+    from corrla_rs_tpu.ops.spdmd import spdmd
+
+    t = np.linspace(0, 4 * np.pi, 60)
+    x = (np.outer(np.ones(16), np.sin(t))
+         + 0.5 * np.outer(np.linspace(0, 1, 16), np.cos(2 * t)))
+    fit = DMD(x.astype(np.float32), n_modes=6, n_iters=20)
+    out = spdmd(fit, x.astype(np.float32), gammas=np.logspace(-3, 1, 8))
+    nz = np.asarray(out["nnz"])
+    pl = np.asarray(out["ploss_pct"])
+    ok = nz[0] >= nz[-1] and nz[0] >= 3 and np.isfinite(pl).all()
+    return (0.0 if ok else 1.0), 0.5
+
+
+@stage("optdmd/bop-dmd")
+def s_optdmd():
+    from corrla_rs_tpu.models.optdmd import bop_dmd
+
+    t = np.linspace(0, 6, 80)
+    # two distinct spatial shapes so the POD rank matches the 2 modes
+    u1 = np.linspace(0.5, 1.5, 12)
+    u2 = np.sin(np.linspace(0, 3, 12))
+    x = (np.outer(u1, np.exp(-0.2 * t) * np.cos(3 * t))
+         + np.outer(u2, np.exp(-0.2 * t) * np.sin(3 * t))
+         + 0.005 * RNG.standard_normal((12, 80)))
+    fit = bop_dmd(x.astype(np.float32), 2, t=t, n_members=8, key=4)
+    ev = np.asarray(fit.alphas_mean).astype(complex).ravel()
+    err = np.min(np.abs(ev - (-0.2 + 3j))) / np.abs(-0.2 + 3j)
+    return float(err), 5e-2
+
+
+@stage("mrdmd")
+def s_mrdmd():
+    from corrla_rs_tpu.models.mrdmd import mrdmd
+
+    # traveling waves (sin/cos quadrature pairs with distinct spatial
+    # shapes): a standing wave's oscillation lives outside the snapshot
+    # column space and no exact-DMD variant can represent it
+    t = np.linspace(0, 8, 256)
+    xs = np.linspace(0, 1, 10)
+    slow = (np.outer(np.cos(2 * xs), np.sin(0.5 * t))
+            + np.outer(np.sin(2 * xs), np.cos(0.5 * t)))
+    gate = (t > 4).astype(float)
+    fast = 0.5 * (np.outer(xs, np.sin(20 * t) * gate)
+                  + np.outer(xs[::-1], np.cos(20 * t) * gate))
+    x = (slow + fast).astype(np.float32)
+    # level-4 windows (16 samples): 0.628 rad/sample * 16 = 10 rad fits
+    # under the 4*pi max_cycles=2 gate, so the fast pair is captured
+    fit = mrdmd(x, n_modes=4, max_levels=5, max_cycles=2.0)
+    rec = np.asarray(fit.reconstruct())
+    err = np.linalg.norm(rec - (slow + fast)) / np.linalg.norm(slow + fast)
+    return float(err), 5e-2
+
+
+@stage("hankel dmd")
+def s_hankel():
+    from corrla_rs_tpu.models.hankel_dmd import HankelDmd
+
+    t = np.linspace(0, 8 * np.pi, 300)
+    x = np.sin(t[:260])[None, :].astype(np.float32)  # scalar series
+    fit = HankelDmd(x, n_modes=2, n_delays=8, n_iters=20)
+    pred = np.asarray(fit.forecast(40))
+    err = np.max(np.abs(pred[0] - np.sin(t[260:300])))
+    return float(err), 5e-2
+
+
+@stage("online dmd")
+def s_online():
+    from corrla_rs_tpu.models.online_dmd import OnlineDmd
+
+    a_true = np.array([[0.95, 0.1], [-0.1, 0.95]])
+    x = np.zeros((2, 120))
+    x[:, 0] = [1.0, 0.0]
+    # noise keeps the Gram full-rank (a pure rotation trajectory is
+    # 2-d anyway, but keep the regression honest)
+    for k in range(119):
+        x[:, k + 1] = a_true @ x[:, k] + 1e-3 * RNG.standard_normal(2)
+    od = OnlineDmd(2)
+    for k in range(119):
+        od.update(x[:, k].astype(np.float32), x[:, k + 1].astype(np.float32))
+    err = np.max(np.abs(np.asarray(od.a) - a_true))
+    return float(err), 1e-2
+
+
+@stage("aPC pce")
+def s_pce():
+    from corrla_rs_tpu.ops.pce import PolynomialChaos
+
+    x = RNG.uniform(-1, 1, (300, 2))
+    y = 1.0 + 2.0 * x[:, 0] + 0.5 * x[:, 0] * x[:, 1]
+    pce = PolynomialChaos(order=2,
+                          bounds=np.array([[-1.0, 1.0], [-1.0, 1.0]]))
+    pce.fit(x.astype(np.float32), y.astype(np.float32))
+    yh = np.asarray(pce.predict(x.astype(np.float32)))
+    err = float(np.max(np.abs(yh - y)) / np.max(np.abs(y)))
+    return err, 1e-2
+
+
+@stage("sketched lstsq")
+def s_sketch():
+    from corrla_rs_tpu.ops.sketch_solve import sketched_lstsq
+
+    a = RNG.standard_normal((2048, 24))
+    x_true = RNG.standard_normal(24)
+    b = a @ x_true
+    x_hat, _hist = sketched_lstsq(a.astype(np.float32),
+                                  b.astype(np.float32), key=5)
+    x_hat = np.asarray(x_hat)
+    return float(np.max(np.abs(x_hat.ravel() - x_true))), 1e-2
+
+
+@stage("eig_device (clustered)")
+def s_eig_device():
+    from corrla_rs_tpu.ops.eig_device import eig_device
+
+    # clustered eigenvalues: the round-2 hard case
+    lam = np.array([2.0, 1.001, 1.0, 0.5])
+    q, _ = np.linalg.qr(RNG.standard_normal((4, 4)))
+    a = (q * lam) @ q.T + 0.01 * RNG.standard_normal((4, 4))
+    wr, wi, _vr, _vi = eig_device(a.astype(np.float32))
+    ev = np.sort_complex(np.asarray(wr) + 1j * np.asarray(wi))
+    ev_ref = np.sort_complex(np.linalg.eigvals(a))
+    return float(np.max(np.abs(ev - ev_ref))), 1e-2
+
+
+@stage("smallpath routing")
+def s_smallpath():
+    import jax
+
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+
+    if jax.default_backend() == "cpu":
+        return 0.0, 0.5  # routing is a no-op on CPU-only hosts
+    small = np.ones((8, 8), np.float32)
+    (routed,) = maybe_route_small(small)
+    plat = list(routed.devices())[0].platform
+    ok = plat == "cpu"  # sub-threshold input must land on CPU
+    big = jax.numpy.ones((2048, 1024), jax.numpy.float32)
+    (kept,) = maybe_route_small(big)
+    plat_big = list(kept.devices())[0].platform
+    ok = ok and plat_big != "cpu"
+    return (0.0 if ok else 1.0), 0.5
+
+
+def main():
+    _require_tpu()
+    import jax
+
+    print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
+    print()
+    print("| family | wall (s) | error | tol | status |")
+    print("|---|---|---|---|---|")
+    n_fail = 0
+    for fn in RESULTS:
+        name = fn._stage_name
+        t0 = time.perf_counter()
+        try:
+            err, tol = fn()
+            wall = time.perf_counter() - t0
+            ok = err < tol and np.isfinite(err)
+            status = "PASS" if ok else "FAIL"
+            if not ok:
+                n_fail += 1
+            print(f"| {name} | {wall:.2f} | {err:.2e} | {tol:g} "
+                  f"| {status} |", flush=True)
+        except Exception as exc:  # keep sweeping; report at the end
+            wall = time.perf_counter() - t0
+            n_fail += 1
+            print(f"| {name} | {wall:.2f} | exception: "
+                  f"{type(exc).__name__}: {exc} | — | FAIL |", flush=True)
+            traceback.print_exc(file=sys.stderr)
+    print(f"\n{len(RESULTS) - n_fail}/{len(RESULTS)} families PASS")
+    raise SystemExit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
