@@ -5,6 +5,9 @@ SVD of a 100k x 10k f32 matrix (BASELINE.json north-star #1). The lines
 before it surface the other first-class metrics so a regression in any
 of them is visible in BENCH_r{N}.json (VERDICT r2 item 4):
 
+- cs_mcmc_3000x12_wall (the reference's own hybrid-MCMC benchmark
+  workload, routed to the compiled C++ host pipeline; vs_baseline =
+  speedup over the round-3 routed-JAX wall)
 - dream_samples_per_sec (north-star #2: >= 1e6; vs_baseline = ratio
   to that 1e6 target)
 - ensemble_dmdc_16x_wall (vs_baseline = ratio to the ~2.4 s cost of 16
@@ -67,6 +70,27 @@ def _min_wall(fn, sync, reps=5):
     # min over reps: walls on this tunneled runtime carry +-30% jitter
     # with occasional large outliers; min is the honest steady-state
     return min(times)
+
+
+def bench_small_mcmc() -> None:
+    """Reference benchmark workload (benchmark_dirichlet_sampler.py):
+    cs_mcmc_dirichlet_sample 3000 gens x 12 chains. Routed to the
+    compiled C++ host pipeline (round-4); vs_baseline = speedup over
+    the round-3 routed-JAX wall (0.55 s)."""
+    import numpy as np
+
+    from corrla_rs_tpu.api import cs_mcmc_dirichlet_sample
+
+    bounds = np.array([[0.0, 0.0026], [0.1955, 0.1995], [0.80, 0.825]])
+
+    def run():
+        s, _ar = cs_mcmc_dirichlet_sample(
+            bounds, 3000, 12, 500, 10_000, 1.0, 0.6, 0.8, 1e-12, seed=7
+        )
+        return s
+
+    wall = _min_wall(run, lambda s: None, reps=3)
+    _emit("cs_mcmc_3000x12_wall", wall, "s", 0.55 / wall)
 
 
 def bench_dream() -> None:
@@ -211,6 +235,7 @@ def _require_live_device(
 def main():
     _require_live_device()
     baseline = _read_recorded_baseline()
+    bench_small_mcmc()
     bench_dream()
     bench_ensemble_dmdc()
     a = jax.random.normal(
