@@ -44,6 +44,11 @@ from corrla_rs_tpu.models.active_subspaces import (
 from corrla_rs_tpu.models.dmd import dmdc_fit_ensemble, rollout_ensemble
 from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
 from corrla_rs_tpu.ops.deim import deim_points, deim_reconstruct
+from corrla_rs_tpu.ops.gappy import (
+    gappy_pod_fill,
+    gappy_reconstruct,
+    oversample_points,
+)
 from corrla_rs_tpu.ops.id_cur import column_id, cur, row_id
 from corrla_rs_tpu.ops.nystrom import nystrom_approx, nystrom_eigh
 from corrla_rs_tpu.ops.tt import (
@@ -207,6 +212,9 @@ __all__ = [
     "tt_norm",
     "deim_points",
     "deim_reconstruct",
+    "gappy_reconstruct",
+    "gappy_pod_fill",
+    "oversample_points",
     "PolynomialChaos",
     "hosvd",
     "hooi",
