@@ -49,6 +49,13 @@ from corrla_rs_tpu.ops.gappy import (
     gappy_reconstruct,
     oversample_points,
 )
+from corrla_rs_tpu.ops.grassmann import (
+    GrassmannInterp,
+    grassmann_distance,
+    grassmann_exp,
+    grassmann_log,
+    subspace_angles,
+)
 from corrla_rs_tpu.ops.id_cur import column_id, cur, row_id
 from corrla_rs_tpu.ops.nystrom import nystrom_approx, nystrom_eigh
 from corrla_rs_tpu.ops.tt import (
@@ -215,6 +222,11 @@ __all__ = [
     "gappy_reconstruct",
     "gappy_pod_fill",
     "oversample_points",
+    "GrassmannInterp",
+    "grassmann_log",
+    "grassmann_exp",
+    "subspace_angles",
+    "grassmann_distance",
     "PolynomialChaos",
     "hosvd",
     "hooi",
