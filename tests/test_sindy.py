@@ -26,15 +26,20 @@ def lorenz_rhs(x):
 
 
 def simulate_rk4(rhs, x0, dt, n_steps):
-    xs = [jnp.asarray(x0, jnp.float64)]
-    for _ in range(n_steps):
-        x = xs[-1]
+    import jax
+    from jax import lax
+
+    def step(x, _):
         k1 = rhs(x)
         k2 = rhs(x + 0.5 * dt * k1)
         k3 = rhs(x + 0.5 * dt * k2)
         k4 = rhs(x + dt * k3)
-        xs.append(x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4))
-    return jnp.stack(xs)
+        xn = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return xn, xn
+
+    x0 = jnp.asarray(x0, jnp.float64)
+    _, traj = jax.jit(lambda x: lax.scan(step, x, None, length=n_steps))(x0)
+    return jnp.concatenate([x0[None], traj], axis=0)
 
 
 @pytest.fixture(scope="module")
@@ -121,16 +126,20 @@ def test_sindy_with_control():
             1.5 * x[..., 0] - 0.7 * x[..., 1],
         ], axis=-1)
 
-    xs = [jnp.array([1.0, -1.0], dtype=jnp.float64)]
-    for k in range(n - 1):
-        x = xs[-1]
-        tk = t[k]
+    import jax
+    from jax import lax
+
+    def step(x, tk):
         k1 = rhs(x, tk)
         k2 = rhs(x + 0.5 * dt * k1, tk + 0.5 * dt)
         k3 = rhs(x + 0.5 * dt * k2, tk + 0.5 * dt)
         k4 = rhs(x + dt * k3, tk + dt)
-        xs.append(x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4))
-    x = jnp.stack(xs)
+        xn = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return xn, xn
+
+    x0 = jnp.array([1.0, -1.0], dtype=jnp.float64)
+    _, traj = jax.jit(lambda z: lax.scan(step, z, jnp.asarray(t[:-1])))(x0)
+    x = jnp.concatenate([x0[None], traj], axis=0)
 
     model = Sindy(degree=2, threshold=0.1).fit(x, u=u, dt=dt)
     idx = {nm: j for j, nm in enumerate(model.feature_names_)}
