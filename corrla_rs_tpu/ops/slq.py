@@ -1,0 +1,189 @@
+"""Stochastic Lanczos quadrature: log-determinants and spectral sums —
+EXTENSION (no reference analogue).
+
+Completes the randomized trace toolbox (ops/trace_est.py estimates
+tr(A); this module estimates tr(f(A)) for any scalar ``f``): log-
+determinants (f = log — Gaussian-process evidence, Gaussian entropies),
+traces of inverses (f = 1/x — uncertainty calibration), Schatten norms,
+spectral counts. Ubaru, Chen & Saad 2017: for each Rademacher probe v,
+m Lanczos steps build a tridiagonal T_m whose Gauss-quadrature rule
+integrates f against v's spectral measure:
+
+    v^T f(A) v  ~=  ||v||^2 * sum_k tau_k^2 f(theta_k),
+
+with (theta, tau) the eigenvalues and first-row eigenvector components
+of T_m; averaging over probes estimates tr f(A). Error decays
+EXPONENTIALLY in m for smooth f (quadrature) and as 1/sqrt(n_probes)
+(Monte Carlo), so m ~ 40, p ~ 24 gives 3-digit log-dets of well-
+conditioned operators at O(p * m) matvecs total.
+
+TPU-first shape: all probes advance in LOCKSTEP — one batched (n, p)
+matvec per Lanczos step (MXU matmul for explicit matrices), full
+reorthogonalization as two einsums against the stored basis (m is
+static, the loop is ``lax.fori_loop``), then one vmapped (p, m, m)
+``eigh``. Matrix-free operators use the same batched-callable protocol
+as ops/trace_est (``a``: (n, k) -> (n, k) with ``n_dim=``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = ["slq_spectral_sum", "slq_logdet", "lanczos_tridiag"]
+
+_mm = functools.partial(jnp.matmul, precision=PRECISION)
+
+
+def _apply(a, block):
+    if callable(a):
+        return jnp.asarray(a(block))
+    return _mm(jnp.asarray(a), block)
+
+
+@functools.partial(jax.jit, static_argnames=("a", "m"))
+def _lanczos_jit(v0, a, m):
+    return _lanczos(v0, a, m)
+
+
+def _lanczos(v0, a, m):
+    """Batched Lanczos with full reorthogonalization.
+
+    v0 (n, p): unit-norm starting vectors (columns). Returns
+    (alphas (m, p), betas (m-1, p)) — the tridiagonal coefficients per
+    probe. Full reorth costs two einsums per step against the stored
+    basis; at the m ~ 40-60 this module targets it is cheap and removes
+    the ghost-eigenvalue failure mode of plain Lanczos.
+    """
+    n, p = v0.shape
+    dtype = v0.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    # slot j holds v_j; the extra slot m absorbs the final (unused) v_m
+    # write so every .at[j + 1] stays in bounds without conds
+    basis0 = jnp.zeros((m + 1, n, p), dtype).at[0].set(v0)
+
+    def body(j, carry):
+        basis, alphas, betas, v_prev, v_cur, beta_cur = carry
+        w = _apply(a, v_cur) - beta_cur[None, :] * v_prev
+        alpha = jnp.sum(v_cur * w, axis=0)
+        w = w - alpha[None, :] * v_cur
+        # full reorthogonalization: at iteration j slots 0..j are filled,
+        # later slots are zero and contribute nothing
+        coefs = jnp.einsum("knp,np->kp", basis, w)
+        w = w - jnp.einsum("knp,kp->np", basis, coefs)
+        beta = jnp.linalg.norm(w, axis=0)
+        v_next = w / jnp.maximum(beta, tiny)[None, :]
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(beta)
+        basis = basis.at[j + 1].set(v_next)
+        return basis, alphas, betas, v_cur, v_next, beta
+
+    carry = (
+        basis0,
+        jnp.zeros((m, p), dtype),
+        jnp.zeros((m, p), dtype),
+        jnp.zeros((n, p), dtype),
+        v0,
+        jnp.zeros((p,), dtype),
+    )
+    _, alphas, betas, _, _, _ = lax.fori_loop(0, m, body, carry)
+    return alphas, betas[: m - 1]
+
+
+def lanczos_tridiag(a, v0, m: int):
+    """Public batched Lanczos: (alphas (m, p), betas (m-1, p)) for
+    unit-norm starting block v0 (n, p). ``a``: (n, n) matrix or batched
+    matvec callable."""
+    v0 = jnp.asarray(v0)
+    if callable(a):
+        return _lanczos(v0, a, int(m))
+    return _lanczos(v0, jnp.asarray(a), int(m))
+
+
+def _quadrature(alphas, betas, f):
+    """Gauss-quadrature spectral sums from batched tridiagonal coeffs:
+    per probe, sum_k tau_k^2 f(theta_k)."""
+    def build(al, be):
+        return jnp.diag(al) + jnp.diag(be, 1) + jnp.diag(be, -1)
+
+    t = jax.vmap(build, in_axes=(1, 1))(alphas, betas)   # (p, m, m)
+    theta, vecs = jnp.linalg.eigh(t)
+    tau2 = vecs[:, 0, :] ** 2                            # (p, m)
+    return jnp.sum(tau2 * f(theta), axis=1)              # (p,)
+
+
+def slq_spectral_sum(a, f: Callable, n_probes: int = 24,
+                     n_lanczos: int = 40, key=0, n_dim: int | None = None,
+                     dtype=None) -> float:
+    """Estimate tr(f(A)) for symmetric (PSD for f=log) A.
+
+    ``a``: (n, n) matrix or batched matvec callable (n, k) -> (n, k)
+    (callables must pass ``n_dim``; probe dtype follows the session
+    default float unless ``dtype`` is given — same contract as
+    ops/trace_est.hutchpp_trace).
+    """
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    if n_lanczos < 2:
+        raise ValueError(f"n_lanczos must be >= 2, got {n_lanczos}")
+    if callable(a):
+        if n_dim is None:
+            raise ValueError("callable operators need n_dim=")
+        n = int(n_dim)
+        probe_dtype = dtype or jnp.result_type(float)
+    else:
+        a = jnp.asarray(a)
+        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+            raise ValueError(f"a must be square, got {a.shape}")
+        n = int(a.shape[0])
+        probe_dtype = dtype or a.dtype
+    m = min(int(n_lanczos), n)
+    v = jax.random.rademacher(
+        as_key(key), (n, int(n_probes)), dtype=probe_dtype)
+    v = v / jnp.sqrt(jnp.asarray(n, probe_dtype))   # unit columns, exactly
+    if callable(a):
+        alphas, betas = _lanczos(v, a, m)
+    else:
+        alphas, betas = _lanczos_jit(v, _HashableMat(a), m)
+    per_probe = _quadrature(alphas, betas, f)        # v^T f(A) v / ||v||^2
+    return float(n * jnp.mean(per_probe))
+
+
+class _HashableMat:
+    """Wrap an array as a callable so one jitted Lanczos serves both the
+    matrix and matrix-free paths (the array itself traces as a constant
+    via closure; hashing by id keeps jit's static-arg cache correct and
+    cheap for repeated calls on the same array object)."""
+
+    def __init__(self, a):
+        self.a = a
+
+    def __call__(self, block):
+        return _mm(self.a, block)
+
+    def __hash__(self):
+        return id(self.a)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableMat) and self.a is other.a
+
+
+def slq_logdet(a, n_probes: int = 24, n_lanczos: int = 40, key=0,
+               n_dim: int | None = None, dtype=None) -> float:
+    """log det(A) for symmetric positive-definite A via SLQ.
+
+    Eigenvalue estimates are clamped to the dtype's tiny before the log:
+    a Ritz value can round to <= 0 only when A is numerically singular,
+    where logdet is -inf-adjacent anyway."""
+    def f(x):
+        return jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny))
+
+    return slq_spectral_sum(a, f, n_probes=n_probes, n_lanczos=n_lanczos,
+                            key=key, n_dim=n_dim, dtype=dtype)
