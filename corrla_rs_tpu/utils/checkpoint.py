@@ -61,6 +61,7 @@ def _builtin_registry():
     from corrla_rs_tpu.models.era import Era
     from corrla_rs_tpu.models.online_dmd import OnlineDmd
     from corrla_rs_tpu.models.sindy import Sindy  # noqa: F401 (decorator registers)
+    from corrla_rs_tpu.models.opinf import OpInf  # noqa: F401
     from corrla_rs_tpu.ops.incremental import IncrementalPca, IncrementalSvd
     from corrla_rs_tpu.ops.rvine import RVineCopula
     from corrla_rs_tpu.ops.vine import CVineCopula
