@@ -116,6 +116,16 @@ from corrla_rs_tpu.ops.diagnostics import (
     rank_normalized_rhat,
 )
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
+from corrla_rs_tpu.ops.ensemble_mcmc import EnsembleSampler, stretch_run
+from corrla_rs_tpu.ops.multifidelity import (
+    control_variate_estimate,
+    mfmc_design,
+    mfmc_estimate,
+)
+from corrla_rs_tpu.ops.slq import lanczos_tridiag, slq_logdet, slq_spectral_sum
+from corrla_rs_tpu.ops.smc import smc_sample
+from corrla_rs_tpu.models.opinf import OpInf, kron2_compressed
+from corrla_rs_tpu.models.sindy import Sindy
 from corrla_rs_tpu.ops.gp import GpRegressor, SparseGpRegressor
 from corrla_rs_tpu.ops.interp import RbfInterp
 from corrla_rs_tpu.ops.random_svd import (
@@ -183,6 +193,18 @@ __all__ = [
     "DeMcSampler",
     "DreamSampler",
     "dream_run",
+    "EnsembleSampler",
+    "stretch_run",
+    "smc_sample",
+    "slq_logdet",
+    "slq_spectral_sum",
+    "lanczos_tridiag",
+    "mfmc_design",
+    "mfmc_estimate",
+    "control_variate_estimate",
+    "Sindy",
+    "OpInf",
+    "kron2_compressed",
     "constr_dirichlet_sample",
     "NormalRv",
     "BetaRv",
