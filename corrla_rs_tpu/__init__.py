@@ -117,6 +117,7 @@ from corrla_rs_tpu.ops.diagnostics import (
 )
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.ensemble_mcmc import EnsembleSampler, stretch_run
+from corrla_rs_tpu.ops.hmc import hmc_run
 from corrla_rs_tpu.ops.multifidelity import (
     control_variate_estimate,
     mfmc_design,
@@ -195,6 +196,7 @@ __all__ = [
     "dream_run",
     "EnsembleSampler",
     "stretch_run",
+    "hmc_run",
     "smc_sample",
     "slq_logdet",
     "slq_spectral_sum",

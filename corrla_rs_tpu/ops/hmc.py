@@ -1,0 +1,163 @@
+"""Hamiltonian Monte Carlo with dual-averaging adaptation — EXTENSION.
+
+Every sampler in the reference (space_samplers.rs) — and the DEMC/
+DREAM/stretch/SMC family built around it here — is GRADIENT-FREE: cost
+per effective sample grows quickly with dimension (random-walk-like
+mixing). JAX gives exact gradients of any log-density for free, so the
+missing member of the family is the gradient-based one: HMC (Duane 1987;
+Neal 2011), whose leapfrog trajectories move O(1) distance per proposal
+in high dimensions where diffusive samplers move O(1/sqrt(d)).
+
+Implementation (Stan-style single-phase warmup, then frozen kernel):
+- leapfrog integrator with a diagonal mass matrix;
+- step size adapted by Nesterov dual averaging to a target acceptance
+  (0.8 default — Hoffman & Gelman 2014, Algorithm 5);
+- diagonal mass (inverse metric) estimated from warmup second moments,
+  applied for the post-warmup run;
+- divergences (non-finite Hamiltonian) auto-rejected and counted.
+
+TPU-first shape: all chains advance in ONE vmapped leapfrog — the
+gradient evaluation is a single batched call on the MXU for log-probs
+built from matmuls — and the generation loop is ``lax.scan``. The whole
+warmup+run is two ``lax.scan`` programs; no per-step host sync.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from corrla_rs_tpu.utils.prng import as_key
+
+__all__ = ["HmcResult", "hmc_run"]
+
+
+class HmcResult(NamedTuple):
+    history: jnp.ndarray        # (n_steps, n_chains, d) post-warmup draws
+    final: jnp.ndarray          # (n_chains, d)
+    accept_ratio: float         # post-warmup mean acceptance probability
+    step_size: float            # adapted leapfrog step size
+    inv_mass: jnp.ndarray       # (d,) adapted diagonal inverse mass
+    n_divergent: int            # post-warmup divergence count
+
+
+def _leapfrog(grad_fn, x, p, eps, inv_mass, n_steps):
+    """n_steps leapfrog steps for all chains at once. x, p: (c, d)."""
+    def body(_, carry):
+        x, p = carry
+        p = p + 0.5 * eps * grad_fn(x)
+        x = x + eps * (p * inv_mass)
+        p = p + 0.5 * eps * grad_fn(x)
+        return x, p
+
+    return lax.fori_loop(0, n_steps, body, (x, p))
+
+
+def _kinetic(p, inv_mass):
+    return 0.5 * jnp.sum(p * p * inv_mass, axis=-1)
+
+
+def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
+            n_warmup: int = 500, n_leapfrog: int = 32,
+            target_accept: float = 0.8, init_step_size: float = 0.1,
+            key=0, adapt_mass: bool = True) -> HmcResult:
+    """Run HMC on ``n_chains`` parallel chains.
+
+    init_chains (n_chains, d): overdispersed starting points.
+    ln_prob_fn: per-point log density (same contract as the other
+    samplers); its gradient comes from ``jax.grad`` automatically.
+
+    Warmup adapts the step size (dual averaging to ``target_accept``)
+    and, if ``adapt_mass``, a diagonal inverse mass from the warmup
+    draws' second moments; both freeze for the sampling phase, so the
+    post-warmup history is a valid MCMC chain set.
+    """
+    x0 = jnp.asarray(init_chains)
+    if x0.ndim != 2:
+        raise ValueError(f"init_chains must be (n_chains, d), got "
+                         f"{x0.shape}")
+    n_chains, d = x0.shape
+    dtype = x0.dtype
+    key = as_key(key)
+
+    lnp_batched = jax.vmap(ln_prob_fn)
+    grad_batched = jax.vmap(jax.grad(ln_prob_fn))
+
+    def transition(x, lnp_x, eps, inv_mass, k):
+        k_mom, k_acc = jax.random.split(k)
+        p0 = jax.random.normal(k_mom, x.shape, dtype) / jnp.sqrt(inv_mass)
+        x_new, p_new = _leapfrog(grad_batched, x, p0, eps, inv_mass,
+                                 n_leapfrog)
+        lnp_new = lnp_batched(x_new)
+        h0 = -lnp_x + _kinetic(p0, inv_mass)
+        h1 = -lnp_new + _kinetic(p_new, inv_mass)
+        log_alpha = jnp.minimum(h0 - h1, 0.0)
+        divergent = ~jnp.isfinite(log_alpha)
+        log_alpha = jnp.where(divergent, -jnp.inf, log_alpha)
+        accept = (jnp.log(jax.random.uniform(k_acc, (n_chains,), dtype))
+                  < log_alpha)
+        x = jnp.where(accept[:, None], x_new, x)
+        lnp_x = jnp.where(accept, lnp_new, lnp_x)
+        # mean Metropolis probability (the dual-averaging statistic)
+        a_stat = jnp.mean(jnp.exp(log_alpha))
+        return x, lnp_x, a_stat, jnp.sum(divergent, dtype=jnp.int32)
+
+    # -- warmup: dual averaging of log(eps), Hoffman-Gelman constants --
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def warm_body(carry, k):
+        x, lnp_x, log_eps, log_eps_bar, h_bar, t = carry
+        eps = jnp.exp(log_eps)
+        x, lnp_x, a_stat, _ = transition(x, lnp_x, eps,
+                                         jnp.ones((d,), dtype), k)
+        t = t + 1.0
+        h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
+                 + (target_accept - a_stat) / (t + t0))
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        return (x, lnp_x, log_eps, log_eps_bar, h_bar, t), x
+
+    lnp0 = lnp_batched(x0)
+    keys_w = jax.random.split(key, int(n_warmup) + 1)
+    (x, lnp_x, _, log_eps_bar, _, _), warm_hist = lax.scan(
+        warm_body,
+        (x0, lnp0, jnp.log(jnp.asarray(init_step_size, dtype)),
+         jnp.log(jnp.asarray(init_step_size, dtype)),
+         jnp.zeros((), dtype), jnp.zeros((), dtype)),
+        keys_w[1:],
+    )
+    eps = jnp.exp(log_eps_bar)
+
+    if adapt_mass and n_warmup >= 20:
+        # second half of warmup: per-dimension posterior variance
+        tail = warm_hist[int(n_warmup) // 2:].reshape(-1, d)
+        var = jnp.var(tail, axis=0) + 1e-6
+        inv_mass = var            # inverse metric = variance (Stan)
+    else:
+        inv_mass = jnp.ones((d,), dtype)
+
+    # -- sampling: frozen kernel --
+    def samp_body(carry, k):
+        x, lnp_x, acc_sum, div_sum = carry
+        x, lnp_x, a_stat, n_div = transition(x, lnp_x, eps, inv_mass, k)
+        return (x, lnp_x, acc_sum + a_stat, div_sum + n_div), x
+
+    keys_s = jax.random.split(keys_w[0], int(n_steps))
+    (x, lnp_x, acc_sum, div_sum), hist = lax.scan(
+        samp_body,
+        (x, lnp_x, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)),
+        keys_s,
+    )
+    return HmcResult(
+        history=hist,
+        final=x,
+        accept_ratio=float(acc_sum / n_steps),
+        step_size=float(eps),
+        inv_mass=inv_mass,
+        n_divergent=int(div_sum),
+    )

@@ -415,6 +415,202 @@ def s_smallpath():
     return (0.0 if ok else 1.0), 0.5
 
 
+# ---------------------------------------------------------------------------
+# round-4 families
+# ---------------------------------------------------------------------------
+
+@stage("sindy (lorenz f32)")
+def s_sindy():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from corrla_rs_tpu.models.sindy import Sindy
+
+    def lorenz(x):
+        return jnp.stack([10.0 * (x[..., 1] - x[..., 0]),
+                          x[..., 0] * (28.0 - x[..., 2]) - x[..., 1],
+                          x[..., 0] * x[..., 1] - (8.0 / 3.0) * x[..., 2]],
+                         axis=-1)
+
+    dt = 0.002
+
+    def step(x, _):
+        k1 = lorenz(x)
+        k2 = lorenz(x + 0.5 * dt * k1)
+        k3 = lorenz(x + 0.5 * dt * k2)
+        k4 = lorenz(x + dt * k3)
+        xn = x + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return xn, xn
+
+    x0 = jnp.array([-8.0, 8.0, 27.0], jnp.float32)
+    _, traj = jax.jit(lambda z: lax.scan(step, z, None, length=1500))(x0)
+    x = jnp.concatenate([x0[None], traj])
+    m = Sindy(degree=2, threshold=0.5).fit(x, x_dot=lorenz(x))
+    w = np.asarray(m.coefficients_)
+    idx = {nm: j for j, nm in enumerate(m.feature_names_)}
+    errs = [abs(w[idx["x0"], 0] + 10.0) / 10.0,
+            abs(w[idx["x0 x2"], 1] + 1.0),
+            abs(w[idx["x0 x1"], 2] - 1.0),
+            abs(w[idx["x2"], 2] + 8.0 / 3.0) / (8.0 / 3.0)]
+    return float(max(errs)), 5e-3
+
+
+@stage("stretch ensemble mcmc")
+def s_stretch():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.ensemble_mcmc import stretch_run
+
+    mu = jnp.array([1.5, -2.0], jnp.float32)
+    sig = jnp.array([0.7, 1.3], jnp.float32)
+
+    def lnp(x):
+        return -0.5 * jnp.sum(((x - mu) / sig) ** 2)
+
+    w0 = jax.random.normal(jax.random.key(0), (512, 2), jnp.float32)
+    hist, _state = stretch_run(w0, lnp, 1500, key=1)
+    tail = np.asarray(hist[500:]).reshape(-1, 2)
+    return float(max(np.max(np.abs(tail.mean(0) - np.asarray(mu))),
+                     np.max(np.abs(tail.std(0) - np.asarray(sig))))), 0.1
+
+
+@stage("tempered smc evidence")
+def s_smc():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.smc import smc_sample
+
+    d, s0, s = 3, 2.0, 0.5
+
+    def ln_prior(x):
+        return (-0.5 * jnp.sum(x ** 2) / s0 ** 2
+                - 0.5 * d * jnp.log(2 * jnp.pi * s0 ** 2))
+
+    def ln_like(x):
+        return (-0.5 * jnp.sum(x ** 2) / s ** 2
+                - 0.5 * d * jnp.log(2 * jnp.pi * s ** 2))
+
+    init = s0 * jax.random.normal(jax.random.key(2), (4096, d), jnp.float32)
+    res = smc_sample(ln_like, ln_prior, init, n_mcmc=5, key=3)
+    logz_true = -0.5 * d * np.log(2 * np.pi * (s0 ** 2 + s ** 2))
+    return float(abs(res.log_evidence - logz_true)), 0.2
+
+
+@stage("slq logdet")
+def s_slq():
+    from corrla_rs_tpu.ops.slq import slq_logdet
+
+    q, _ = np.linalg.qr(RNG.standard_normal((1024, 1024)))
+    eigs = np.logspace(0, -3, 1024)
+    a = (q * eigs) @ q.T
+    truth = float(np.linalg.slogdet(a)[1])
+    est = slq_logdet(a.astype(np.float32), n_probes=24, n_lanczos=50, key=4)
+    return float(abs(est - truth) / abs(truth)), 5e-3
+
+
+@stage("mfmc estimator")
+def s_mfmc():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.multifidelity import mfmc_estimate
+
+    f1 = jax.jit(lambda x: x[:, 0] ** 2)
+    f2 = jax.jit(lambda x: x[:, 0] ** 2 + 0.5 * x[:, 0])
+
+    def sample_inputs(key, n):
+        return jax.random.normal(key, (n, 1), jnp.float32)
+
+    res = mfmc_estimate([f1, f2], sample_inputs, [1.0, 0.01],
+                        budget=4000.0, n_pilot=2000, key=5)
+    return float(abs(res.mean - 1.0)), 0.1
+
+
+@stage("opinf rom")
+def s_opinf():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from corrla_rs_tpu.models.opinf import OpInf, kron2_compressed
+
+    r = 3
+    rng = np.random.default_rng(7)
+    c = jnp.asarray(0.1 * rng.standard_normal(r), jnp.float32)
+    a = jnp.asarray(-np.eye(r) + 0.2 * rng.standard_normal((r, r)),
+                    jnp.float32)
+    h = jnp.asarray(0.3 * rng.standard_normal((r, r * (r + 1) // 2)),
+                    jnp.float32)
+
+    def rhs(z):
+        return c + a @ z + h @ kron2_compressed(z)
+
+    dt = 0.005
+
+    def step(z, _):
+        k1 = rhs(z)
+        k2 = rhs(z + 0.5 * dt * k1)
+        k3 = rhs(z + 0.5 * dt * k2)
+        k4 = rhs(z + dt * k3)
+        zn = z + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return zn, zn
+
+    z0 = jnp.array([0.8, -0.5, 0.3], jnp.float32)
+    _, traj = jax.jit(lambda z: lax.scan(step, z, None, length=600))(z0)
+    z = jnp.concatenate([z0[None], traj])
+    v, _ = np.linalg.qr(rng.standard_normal((256, r)))
+    x = z @ jnp.asarray(v.T, jnp.float32)
+    # analytic derivatives: the sweep checks the DEVICE regression +
+    # rollout path, not finite-difference noise (f32 FD derivatives of a
+    # fast trajectory are a documented accuracy limit — use x_dot= or f64
+    # for production fits from coarse samples)
+    xdot = jax.vmap(rhs)(z) @ jnp.asarray(v.T, jnp.float32)
+    m = OpInf(n_modes=r, reg_quadratic=1e-6).fit(x, dt=dt, x_dot=xdot,
+                                                 key=8)
+    pred = m.predict(x[0], 600, dt)
+    return float(jnp.max(jnp.abs(pred - x))), 5e-2
+
+
+@stage("grassmann rom interp")
+def s_grassmann():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.grassmann import GrassmannInterp, subspace_angles
+
+    # anchor bases: smoothly rotating 2-dim subspaces of R^32
+    def basis(theta):
+        b = np.zeros((32, 2))
+        b[0, 0], b[1, 0] = np.cos(theta), np.sin(theta)
+        b[2, 1], b[3, 1] = np.cos(2 * theta), np.sin(2 * theta)
+        return b
+
+    thetas = np.array([0.0, 0.2, 0.4, 0.6])
+    bases = jnp.asarray(np.stack([basis(t) for t in thetas]), jnp.float32)
+    gi = GrassmannInterp(bases, jnp.asarray(thetas[:, None], jnp.float32))
+    mid = gi(jnp.asarray([0.3], jnp.float32))  # single query -> (n, r)
+    ang = subspace_angles(mid, jnp.asarray(basis(0.3), jnp.float32))
+    return float(np.max(np.asarray(ang))), 5e-2
+
+
+@stage("gappy pod reconstruct")
+def s_gappy():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.gappy import gappy_reconstruct
+
+    a = lowrank(512, 20, 4)
+    u, _, _ = np.linalg.svd(a, full_matrices=False)
+    modes = jnp.asarray(u[:, :4], jnp.float32)
+    pts = jnp.asarray(RNG.choice(512, 12, replace=False))
+    field = a[:, 3].astype(np.float32)
+    rec, _coeffs = gappy_reconstruct(modes, pts, jnp.asarray(field)[pts])
+    return (float(np.max(np.abs(np.asarray(rec) - field)))
+            / float(np.max(np.abs(field)))), 1e-3
+
+
 def main():
     _require_tpu()
     import jax
