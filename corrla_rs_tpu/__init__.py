@@ -117,6 +117,7 @@ from corrla_rs_tpu.ops.diagnostics import (
 )
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.ensemble_mcmc import EnsembleSampler, stretch_run
+from corrla_rs_tpu.ops.bayes_opt import BayesOpt, bayes_opt_minimize
 from corrla_rs_tpu.ops.cg import cg_solve, jacobi_preconditioner
 from corrla_rs_tpu.ops.hmc import hmc_run
 from corrla_rs_tpu.ops.multifidelity import (
@@ -200,6 +201,8 @@ __all__ = [
     "hmc_run",
     "cg_solve",
     "jacobi_preconditioner",
+    "BayesOpt",
+    "bayes_opt_minimize",
     "smc_sample",
     "slq_logdet",
     "slq_spectral_sum",

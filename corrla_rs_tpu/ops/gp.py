@@ -43,35 +43,54 @@ def _jitter(dtype):
     return 1e-4 if dtype == jnp.float32 else 1e-6
 
 
-@functools.partial(jax.jit, static_argnames=("kernel",))
-def _nlml(log_params, x, y, kernel):
-    """Negative log marginal likelihood in log-parameter space."""
-    ls, sv, nv = jnp.exp(log_params)
+def _masked_kernel_matrix(x, mask, kernel, ls, sv, nv):
+    """Covariance with padded rows/cols replaced by identity: the pad
+    block decouples EXACTLY (its Cholesky rows are e_i, its logdet
+    contribution 0, its alpha entries y_pad = 0), so NLML and posterior
+    over the valid points are bit-identical to the unpadded problem.
+    Padding exists so growing datasets (Bayesian optimization, online
+    fits) hit a few jit shapes instead of one per n."""
     n = x.shape[0]
     k = gp_kernel_eval(pairwise_dists(x, x), kernel, ls, sv)
     k = k + (nv + _jitter(x.dtype) * sv) * jnp.eye(n, dtype=x.dtype)
+    if mask is None:
+        return k
+    m = mask.astype(x.dtype)
+    return m[:, None] * k * m[None, :] + jnp.diag(1.0 - m)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel",))
+def _nlml(log_params, x, y, kernel, mask=None):
+    """Negative log marginal likelihood in log-parameter space."""
+    ls, sv, nv = jnp.exp(log_params)
+    k = _masked_kernel_matrix(x, mask, kernel, ls, sv, nv)
+    n_eff = x.shape[0] if mask is None else jnp.sum(mask)
+    if mask is not None:
+        y = y * mask.astype(y.dtype)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
     data_fit = 0.5 * jnp.sum(y * alpha)
     log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
-    return (data_fit + log_det + 0.5 * n * _LOG_2PI) / n
+    return (data_fit + log_det + 0.5 * n_eff * _LOG_2PI) / n_eff
 
 
 @functools.partial(jax.jit, static_argnames=("kernel",))
-def _gp_fit(x, y, log_params, kernel):
+def _gp_fit(x, y, log_params, kernel, mask=None):
     ls, sv, nv = jnp.exp(log_params)
-    n = x.shape[0]
-    k = gp_kernel_eval(pairwise_dists(x, x), kernel, ls, sv)
-    k = k + (nv + _jitter(x.dtype) * sv) * jnp.eye(n, dtype=x.dtype)
+    k = _masked_kernel_matrix(x, mask, kernel, ls, sv, nv)
+    if mask is not None:
+        y = y * mask.astype(y.dtype)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
     return chol, alpha
 
 
 @functools.partial(jax.jit, static_argnames=("kernel",))
-def _gp_predict(x_train, chol, alpha, log_params, xq, kernel):
+def _gp_predict(x_train, chol, alpha, log_params, xq, kernel, mask=None):
     ls, sv, _nv = jnp.exp(log_params)
     k_q = gp_kernel_eval(pairwise_dists(xq, x_train), kernel, ls, sv)
+    if mask is not None:
+        k_q = k_q * mask.astype(k_q.dtype)[None, :]
     mean = jnp.matmul(k_q, alpha, precision=PRECISION)
     v = jax.scipy.linalg.solve_triangular(chol, k_q.T, lower=True)
     var = sv - jnp.sum(v * v, axis=0)
@@ -98,16 +117,34 @@ class GpRegressor:
             [self.length_scale, self.signal_var, self.noise_var]
         ))
 
-    def fit(self, x, y, optimize_hypers: bool = True):
+    def fit(self, x, y, optimize_hypers: bool = True,
+            pad_to: int | None = None):
+        """Fit on (x, y). ``pad_to``: pad the training set to this size
+        with exactly-masked rows — the posterior and NLML are identical
+        to the unpadded fit (identity-row decoupling, see
+        _masked_kernel_matrix), but jit sees one shape per bucket
+        instead of one per n. Use for growing datasets (Bayesian
+        optimization, online refits)."""
         x = jnp.asarray(x)
         y = jnp.asarray(y)
         if y.ndim == 2:
             y = y[:, 0]
         self._y_mean = jnp.mean(y)
         yc = y - self._y_mean
+        mask = None
+        if pad_to is not None:
+            n = x.shape[0]
+            if pad_to < n:
+                raise ValueError(f"pad_to={pad_to} < n={n}")
+            pad = int(pad_to) - n
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:],
+                                              x.dtype)])
+            yc = jnp.concatenate([yc, jnp.zeros((pad,), yc.dtype)])
+            mask = jnp.concatenate([jnp.ones((n,), x.dtype),
+                                    jnp.zeros((pad,), x.dtype)])
         if optimize_hypers:
             res = _jsp_minimize(
-                lambda lp: _nlml(lp, x, yc, self.kernel),
+                lambda lp: _nlml(lp, x, yc, self.kernel, mask),
                 self._log_params(), method="BFGS",
             )
             good = jnp.all(jnp.isfinite(res.x))
@@ -117,23 +154,26 @@ class GpRegressor:
             )
         self.x_train = x
         self._yc = yc
+        self._mask = mask
         self._chol, self._alpha = _gp_fit(x, yc, self._log_params(),
-                                          self.kernel)
+                                          self.kernel, mask)
         return self
 
     def predict(self, xq, return_var: bool = True):
         xq = jnp.asarray(xq)
         mean, var = _gp_predict(
             self.x_train, self._chol, self._alpha, self._log_params(), xq,
-            self.kernel,
+            self.kernel, getattr(self, "_mask", None),
         )
         mean = mean + self._y_mean
         return (mean, var) if return_var else mean
 
     def log_marginal_likelihood(self) -> float:
-        n = self.x_train.shape[0]
+        mask = getattr(self, "_mask", None)
+        n = (self.x_train.shape[0] if mask is None
+             else float(jnp.sum(mask)))
         return -float(_nlml(self._log_params(), self.x_train, self._yc,
-                            self.kernel)) * n
+                            self.kernel, mask)) * n
 
 
 # ---------------------------------------------------------------------------
