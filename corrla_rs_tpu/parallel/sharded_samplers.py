@@ -22,7 +22,7 @@ from corrla_rs_tpu.ops.samplers import _pick_two_others
 from corrla_rs_tpu.parallel.mesh import CHAINS_AXIS, make_mesh
 from corrla_rs_tpu.utils.prng import as_key
 
-__all__ = ["demc_run_sharded", "dream_run_sharded"]
+__all__ = ["demc_run_sharded", "dream_run_sharded", "stretch_run_sharded"]
 
 
 @functools.partial(
@@ -233,6 +233,122 @@ def dream_run_sharded(init_heads, ln_prob_fn, n_steps: int, key=0,
     )
     accept_ratio = float(n_acc) / (int(n_steps) * heads.shape[0])
     return hist, final_heads, accept_ratio
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ln_prob_fn", "n_steps", "mesh", "axis_name"),
+)
+def _stretch_sharded_jit(halves, ln_prob_fn, n_steps, a, key, mesh,
+                         axis_name):
+    """halves: (2, half, d) — the red-black groups, each sharded over the
+    walker axis so EVERY device updates rows in BOTH stages (a flat
+    (n, d) sharding would idle half the mesh per stage). Per stage the
+    frozen complementary group is all_gather-ed (tiny: half x d);
+    randomness is drawn replicated from the step key and row-sliced, so
+    the proposal distribution matches ops.ensemble_mcmc.stretch_run
+    (streams differ only in key-split layout, same contract as
+    demc_run_sharded)."""
+    _, half, d = halves.shape
+    n_dev = mesh.shape[axis_name]
+    n_local = half // n_dev
+
+    def kernel(halves_l, key):
+        my_shard = lax.axis_index(axis_name)
+        offset = my_shard * n_local
+        lnp_l = jax.vmap(ln_prob_fn)(halves_l.reshape(2 * n_local, d))
+        lnp_l = lnp_l.reshape(2, n_local)
+        acc0 = lax.pcast(jnp.zeros((), jnp.int32), (axis_name,),
+                         to="varying")
+
+        def half_update(walkers_l, lnp_w, other_full, rp, rz, racc):
+            z = ((a - 1.0) * rz + 1.0) ** 2 / a
+            partners = other_full[rp]
+            prop = partners + z[:, None] * (walkers_l - partners)
+            lnp_prop = jax.vmap(ln_prob_fn)(prop)
+            ln_q = (d - 1.0) * jnp.log(z) + lnp_prop - lnp_w
+            alpha = jnp.exp(jnp.minimum(ln_q, 0.0))
+            alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+            acc = racc < alpha
+            return (jnp.where(acc[:, None], prop, walkers_l),
+                    jnp.where(acc, lnp_prop, lnp_w),
+                    jnp.sum(acc, dtype=jnp.int32))
+
+        def step(carry, step_key):
+            halves_l, lnp_l, n_acc = carry
+            ks = jax.random.split(step_key, 6)
+            dtype = halves_l.dtype
+            sl = lambda arr: lax.dynamic_slice_in_dim(arr, offset, n_local)
+
+            out_halves = []
+            out_lnps = []
+            for g in range(2):
+                other_full = lax.all_gather(
+                    halves_l[1 - g] if g == 0 else out_halves[0],
+                    axis_name, tiled=True)
+                rp = sl(jax.random.randint(ks[3 * g], (half,), 0, half))
+                rz = sl(jax.random.uniform(ks[3 * g + 1], (half,), dtype))
+                racc = sl(jax.random.uniform(ks[3 * g + 2], (half,),
+                                             dtype))
+                w, l, n_a = half_update(halves_l[g], lnp_l[g], other_full,
+                                        rp, rz, racc)
+                out_halves.append(w)
+                out_lnps.append(l)
+                n_acc = n_acc + n_a
+            halves_l = jnp.stack(out_halves)
+            lnp_l = jnp.stack(out_lnps)
+            return (halves_l, lnp_l, n_acc), halves_l
+
+        step_keys = jax.random.split(key, n_steps)
+        (halves_l, _lnp, n_acc), hist_l = lax.scan(
+            step, (halves_l, lnp_l, acc0), step_keys,
+            unroll=min(4, max(n_steps, 1)),
+        )
+        return hist_l, halves_l, lax.psum(n_acc, axis_name)
+
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=(P(None, None, axis_name, None),
+                   P(None, axis_name, None), P()),
+    )(halves, key)
+
+
+def stretch_run_sharded(init_walkers, ln_prob_fn, n_steps: int,
+                        a: float = 2.0, key=0, mesh=None, axis_name=None):
+    """Affine-invariant stretch sampler over a walker-sharded mesh
+    (see ops.ensemble_mcmc for the algorithm).
+
+    Both red-black groups are sharded over the mesh axis so every device
+    updates rows in both half-stages; the frozen complementary group is
+    all_gather-ed per stage. n_walkers must divide 2 * mesh-axis size.
+    Returns (history (n_steps, n_walkers, d), final_walkers,
+    accept_ratio) with the single-chip walker ordering (first half, then
+    second half).
+    """
+    mesh = mesh or make_mesh(axis_name=CHAINS_AXIS)
+    axis_name = axis_name or mesh.axis_names[0]
+    walkers = jnp.asarray(init_walkers)
+    n, d = walkers.shape
+    n_dev = mesh.shape[axis_name]
+    if n < 4 or n % 2:
+        raise ValueError(f"need an even n_walkers >= 4, got {n}")
+    if (n // 2) % n_dev != 0:
+        raise ValueError(
+            f"n_walkers/2 ({n // 2}) must divide mesh axis ({n_dev})")
+    halves = walkers.reshape(2, n // 2, d)
+    halves = jax.device_put(
+        halves, jax.sharding.NamedSharding(mesh, P(None, axis_name, None))
+    )
+    hist, final_halves, n_acc = _stretch_sharded_jit(
+        halves, ln_prob_fn, int(n_steps), float(a), as_key(key), mesh,
+        axis_name,
+    )
+    n_steps = int(n_steps)
+    hist = hist.reshape(n_steps, n, d)
+    accept_ratio = float(n_acc) / (n_steps * n)
+    return hist, final_halves.reshape(n, d), accept_ratio
 
 
 def demc_run_sharded(init_heads, ln_prob_fn, n_steps: int, gamma: float,

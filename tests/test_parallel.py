@@ -453,3 +453,46 @@ def test_sharded_hosvd_mode0_rank_validated(rng):
     with pytest.raises(ValueError, match="prod"):
         sharded_hosvd(rng.standard_normal((160, 2, 2)), (8, 2, 2),
                       mesh=mesh)
+
+
+def test_sharded_stretch_gaussian_and_invariance():
+    """Walker-sharded stretch sampler: recovers a Gaussian on the
+    8-device mesh AND keeps the bit-exact power-of-two affine
+    equivariance (same collectives, scaled state)."""
+    from corrla_rs_tpu.parallel.sharded_samplers import stretch_run_sharded
+
+    _require_8()
+    mesh = make_mesh(8, axis_name=CHAINS_AXIS)
+    mu = jnp.array([1.5, -2.0])
+    sig = jnp.array([0.7, 1.3])
+
+    def lnp(x):
+        return -0.5 * jnp.sum(((x - mu) / sig) ** 2)
+
+    w0 = jax.random.normal(jax.random.key(0), (32, 2), jnp.float64)
+    hist, final_w, ar = stretch_run_sharded(w0, lnp, 2500, key=1,
+                                            mesh=mesh)
+    assert hist.shape == (2500, 32, 2)
+    assert final_w.shape == (32, 2)
+    tail = np.asarray(hist[800:]).reshape(-1, 2)
+    np.testing.assert_allclose(tail.mean(0), np.asarray(mu), atol=0.12)
+    np.testing.assert_allclose(tail.std(0), np.asarray(sig), atol=0.12)
+    assert 0.2 < ar < 0.9
+
+    # bit-exact diagonal affine equivariance survives the sharded path
+    scale = jnp.array([4.0, 0.5])
+    inv = jnp.array([0.25, 2.0])
+
+    def lnp_iso(x):
+        return -0.5 * jnp.sum(x ** 2)
+
+    def lnp_skew(y):
+        return -0.5 * jnp.sum((y * inv) ** 2)
+
+    h1, _, _ = stretch_run_sharded(w0, lnp_iso, 100, key=2, mesh=mesh)
+    h2, _, _ = stretch_run_sharded(w0 * scale, lnp_skew, 100, key=2,
+                                   mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(h2), np.asarray(h1 * scale))
+
+    with pytest.raises(ValueError, match="divide"):
+        stretch_run_sharded(jnp.zeros((6, 2)), lnp_iso, 3, mesh=mesh)
