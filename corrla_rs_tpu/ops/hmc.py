@@ -63,7 +63,8 @@ def _kinetic(p, inv_mass):
 def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
             n_warmup: int = 500, n_leapfrog: int = 32,
             target_accept: float = 0.8, init_step_size: float = 0.1,
-            key=0, adapt_mass: bool = True) -> HmcResult:
+            key=0, adapt_mass: bool = True, mesh=None,
+            axis_name=None) -> HmcResult:
     """Run HMC on ``n_chains`` parallel chains.
 
     init_chains (n_chains, d): overdispersed starting points.
@@ -74,11 +75,30 @@ def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
     and, if ``adapt_mass``, a diagonal inverse mass from the warmup
     draws' second moments; both freeze for the sampling phase, so the
     post-warmup history is a valid MCMC chain set.
+
+    Multi-chip: chains are INDEPENDENT (unlike DEMC/DREAM/stretch, no
+    cross-chain coupling), so ``mesh=`` simply places the chain axis
+    sharded and GSPMD partitions every batched gradient/leapfrog with
+    no collectives in the hot loop; the only cross-chain reductions are
+    the scalar dual-averaging statistic and the warmup moments, whose
+    reassociated summation order makes the adapted step size differ at
+    float-rounding level — the sharded run is statistically identical,
+    not bitwise.
     """
     x0 = jnp.asarray(init_chains)
     if x0.ndim != 2:
         raise ValueError(f"init_chains must be (n_chains, d), got "
                          f"{x0.shape}")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = axis_name or mesh.axis_names[0]
+        n_dev = mesh.shape[ax]
+        if x0.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"n_chains ({x0.shape[0]}) must divide mesh axis "
+                f"({n_dev})")
+        x0 = jax.device_put(x0, NamedSharding(mesh, P(ax, None)))
     n_chains, d = x0.shape
     dtype = x0.dtype
     key = as_key(key)

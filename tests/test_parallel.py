@@ -496,3 +496,30 @@ def test_sharded_stretch_gaussian_and_invariance():
 
     with pytest.raises(ValueError, match="divide"):
         stretch_run_sharded(jnp.zeros((6, 2)), lnp_iso, 3, mesh=mesh)
+
+
+def test_sharded_hmc_matches_single():
+    """HMC chains are independent: the mesh= path is pure GSPMD data
+    parallelism. The adapted step size differs only at float-rounding
+    level (the dual-averaging statistic is a cross-chain sum whose
+    order reassociates under sharding), and the sampled distribution
+    matches statistically."""
+    from corrla_rs_tpu.ops.hmc import hmc_run
+
+    _require_8()
+    mesh = make_mesh(8, axis_name=CHAINS_AXIS)
+    sig = jnp.asarray([0.5, 2.0])
+
+    def lnp(x):
+        return -0.5 * jnp.sum((x / sig) ** 2)
+
+    x0 = jax.random.normal(jax.random.key(3), (16, 2), jnp.float64)
+    r1 = hmc_run(x0, lnp, n_steps=400, n_warmup=200, key=4)
+    r2 = hmc_run(x0, lnp, n_steps=400, n_warmup=200, key=4, mesh=mesh)
+    assert r2.step_size == pytest.approx(r1.step_size, rel=0.15)
+    t1 = np.asarray(r1.history[100:]).reshape(-1, 2)
+    t2 = np.asarray(r2.history[100:]).reshape(-1, 2)
+    np.testing.assert_allclose(t2.std(0), np.asarray(sig), rtol=0.15)
+    np.testing.assert_allclose(t2.std(0), t1.std(0), rtol=0.15)
+    with pytest.raises(ValueError, match="divide"):
+        hmc_run(jnp.zeros((6, 2)), lnp, 5, mesh=mesh)
