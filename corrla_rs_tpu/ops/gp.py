@@ -168,6 +168,46 @@ class GpRegressor:
         mean = mean + self._y_mean
         return (mean, var) if return_var else mean
 
+    def predict_cov(self, xq):
+        """Full posterior covariance at the query points (n_q, n_q) —
+        ``predict`` returns only its diagonal. Needed for coherent
+        function draws and joint credible statements."""
+        xq = jnp.asarray(xq)
+        ls, sv, _nv = jnp.exp(self._log_params())
+        k_q = gp_kernel_eval(pairwise_dists(xq, self.x_train),
+                             self.kernel, ls, sv)
+        mask = getattr(self, "_mask", None)
+        if mask is not None:
+            k_q = k_q * mask.astype(k_q.dtype)[None, :]
+        k_qq = gp_kernel_eval(pairwise_dists(xq, xq), self.kernel, ls, sv)
+        v = jax.scipy.linalg.solve_triangular(self._chol, k_q.T,
+                                              lower=True)
+        cov = k_qq - jnp.matmul(v.T, v, precision=PRECISION)
+        return 0.5 * (cov + cov.T)
+
+    def sample_posterior(self, xq, n_samples: int, key=0):
+        """(n_samples, n_q) coherent posterior function draws at xq —
+        unlike independent per-point draws from ``predict``'s variance,
+        these respect the posterior correlations between query points."""
+        from corrla_rs_tpu.utils.prng import as_key
+
+        xq = jnp.asarray(xq)
+        mean = self.predict(xq, return_var=False)
+        cov = self.predict_cov(xq)
+        # posterior cov can be numerically semidefinite: jitter the chol,
+        # scaled to the ACTUAL covariance magnitude (a fixed floor would
+        # inject independent noise that swamps well-constrained
+        # posteriors whose true variances are tiny)
+        n_q = cov.shape[0]
+        scale = jnp.maximum(jnp.max(jnp.diagonal(cov)),
+                            jnp.finfo(cov.dtype).tiny)
+        chol = jnp.linalg.cholesky(
+            cov + _jitter(cov.dtype) * scale
+            * jnp.eye(n_q, dtype=cov.dtype))
+        z = jax.random.normal(as_key(key), (int(n_samples), n_q),
+                              cov.dtype)
+        return mean[None, :] + z @ chol.T
+
     def log_marginal_likelihood(self) -> float:
         mask = getattr(self, "_mask", None)
         n = (self.x_train.shape[0] if mask is None

@@ -116,3 +116,28 @@ def test_pi_acquisition_runs():
     res = bayes_opt_minimize(_quad, [[-1, 1], [-1, 1]], n_init=6,
                              n_iters=8, key=4, acquisition="pi")
     assert res.y_best < -0.8
+
+
+def test_gp_posterior_draws():
+    """predict_cov diag == predict var; draws reproduce mean/cov; at the
+    training inputs (tiny noise) draws pass ~through the data."""
+    from corrla_rs_tpu.ops.gp import GpRegressor
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(np.linspace(0, 6, 25)[:, None])
+    y = jnp.sin(x[:, 0])
+    gp = GpRegressor(noise_var=1e-8).fit(x, y, optimize_hypers=False)
+    xq = jnp.asarray(np.linspace(0, 6, 40)[:, None])
+    mean, var = gp.predict(xq)
+    cov = gp.predict_cov(xq)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(cov)),
+                               np.asarray(var), atol=1e-8)
+    draws = gp.sample_posterior(xq, 4000, key=5)
+    np.testing.assert_allclose(np.asarray(draws.mean(0)),
+                               np.asarray(mean), atol=0.05)
+    emp_sd = np.asarray(draws.std(0))
+    np.testing.assert_allclose(emp_sd, np.sqrt(np.asarray(var)) ,
+                               atol=0.03)
+    # coherence: neighboring queries are strongly correlated in draws
+    c = np.corrcoef(np.asarray(draws[:, 20]), np.asarray(draws[:, 21]))
+    assert c[0, 1] > 0.5 or emp_sd[20] < 1e-3
