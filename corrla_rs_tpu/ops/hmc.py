@@ -63,8 +63,8 @@ def _kinetic(p, inv_mass):
 def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
             n_warmup: int = 500, n_leapfrog: int = 32,
             target_accept: float = 0.8, init_step_size: float = 0.1,
-            key=0, adapt_mass: bool = True, mesh=None,
-            axis_name=None) -> HmcResult:
+            key=0, adapt_mass: bool = True, jitter_steps: bool = False,
+            mesh=None, axis_name=None) -> HmcResult:
     """Run HMC on ``n_chains`` parallel chains.
 
     init_chains (n_chains, d): overdispersed starting points.
@@ -107,10 +107,30 @@ def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
     grad_batched = jax.vmap(jax.grad(ln_prob_fn))
 
     def transition(x, lnp_x, eps, inv_mass, k):
-        k_mom, k_acc = jax.random.split(k)
+        k_mom, k_len, k_acc = jax.random.split(k, 3)
         p0 = jax.random.normal(k_mom, x.shape, dtype) / jnp.sqrt(inv_mass)
-        x_new, p_new = _leapfrog(grad_batched, x, p0, eps, inv_mass,
-                                 n_leapfrog)
+        if jitter_steps:
+            # uniform trajectory-length jitter (Neal 2011 §3.2): breaks
+            # the periodicity resonances a FIXED length has on targets
+            # whose oscillation period divides eps * n_leapfrog. Run the
+            # full n_leapfrog loop (static shape) but freeze the state
+            # after a random cutoff — masked no-op iterations, the house
+            # pattern for batched-friendly loops.
+            cutoff = jax.random.randint(k_len, (), 1, n_leapfrog + 1)
+
+            def body(i, carry):
+                xc, pc = carry
+                live = i < cutoff
+                pc2 = pc + 0.5 * eps * grad_batched(xc)
+                xc2 = xc + eps * (pc2 * inv_mass)
+                pc2 = pc2 + 0.5 * eps * grad_batched(xc2)
+                return (jnp.where(live, xc2, xc),
+                        jnp.where(live, pc2, pc))
+
+            x_new, p_new = lax.fori_loop(0, n_leapfrog, body, (x, p0))
+        else:
+            x_new, p_new = _leapfrog(grad_batched, x, p0, eps, inv_mass,
+                                     n_leapfrog)
         lnp_new = lnp_batched(x_new)
         h0 = -lnp_x + _kinetic(p0, inv_mass)
         h1 = -lnp_new + _kinetic(p_new, inv_mass)

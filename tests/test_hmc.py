@@ -82,3 +82,24 @@ def test_divergence_counting_and_validation():
     assert bool(jnp.all(jnp.isfinite(res.history)))
     with pytest.raises(ValueError, match="n_chains"):
         hmc_run(jnp.zeros(3), lnp, 5)
+
+
+def test_jittered_trajectories_fix_resonance():
+    """A fixed trajectory length can resonate (end where it started) on a
+    harmonic target with matching period; jitter_steps breaks it. With
+    eps*L ~ 2*pi the fixed-length sampler's moves are tiny; the jittered
+    one explores."""
+    def lnp(x):
+        return -0.5 * jnp.sum(x ** 2)
+
+    x0 = 3.0 + jax.random.normal(jax.random.key(9), (8, 2), jnp.float64)
+    # eps = 2*pi/32 exactly: a full period per trajectory
+    kw = dict(n_steps=200, n_warmup=0, n_leapfrog=32,
+              init_step_size=float(2 * np.pi / 32), adapt_mass=False)
+    fixed = hmc_run(x0, lnp, key=10, **kw)
+    jit = hmc_run(x0, lnp, key=10, jitter_steps=True, **kw)
+    # resonance: fixed-length moves barely change x -> mean stays ~3
+    m_fixed = float(np.abs(np.asarray(fixed.history[-50:]).mean()))
+    m_jit = float(np.abs(np.asarray(jit.history[-50:]).mean()))
+    assert m_fixed > 1.0       # stuck near the start
+    assert m_jit < 0.5         # mixed to the target mean 0
