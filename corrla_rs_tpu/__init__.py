@@ -121,6 +121,7 @@ from corrla_rs_tpu.ops.bayes_opt import BayesOpt, bayes_opt_minimize
 from corrla_rs_tpu.ops.cg import cg_solve, jacobi_preconditioner
 from corrla_rs_tpu.ops.hmc import hmc_run
 from corrla_rs_tpu.ops.laplace import laplace_approx, laplace_sample
+from corrla_rs_tpu.ops.nuts import nuts_run
 from corrla_rs_tpu.ops.multifidelity import (
     control_variate_estimate,
     mfmc_design,
@@ -200,6 +201,7 @@ __all__ = [
     "EnsembleSampler",
     "stretch_run",
     "hmc_run",
+    "nuts_run",
     "laplace_approx",
     "laplace_sample",
     "cg_solve",
