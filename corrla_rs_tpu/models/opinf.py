@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.ops.mat_utils import PRECISION, fd_derivative as _fd_derivative
 from corrla_rs_tpu.ops.random_svd import random_svd
 from corrla_rs_tpu.utils.checkpoint import register_model_class
 from corrla_rs_tpu.utils.prng import as_key
@@ -56,14 +56,6 @@ def kron2_compressed(x):
     r = x.shape[-1]
     ii, jj = _pair_indices(r)
     return x[..., ii] * x[..., jj]
-
-
-def _fd_derivative(x, dt):
-    """2nd-order FD along axis 0 (same stencil as models/sindy.py)."""
-    interior = (x[2:] - x[:-2]) / (2.0 * dt)
-    first = (-3.0 * x[0] + 4.0 * x[1] - x[2]) / (2.0 * dt)
-    last = (3.0 * x[-1] - 4.0 * x[-2] + x[-3]) / (2.0 * dt)
-    return jnp.concatenate([first[None], interior, last[None]], axis=0)
 
 
 @register_model_class

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.ops.mat_utils import PRECISION, fd_derivative as _fd_derivative
 from corrla_rs_tpu.utils.checkpoint import register_model_class
 
 __all__ = ["Sindy", "polynomial_exponents", "evaluate_library"]
@@ -73,8 +73,11 @@ def evaluate_library(x, exponents, trig_freqs: int = 0):
     """
     e = jnp.asarray(exponents, dtype=x.dtype)          # (f, d)
     xb = x[:, None, :]                                  # (n, 1, d)
-    # x**0 -> 1 without evaluating pow at 0 (avoids 0**0 edge + NaN grads)
-    pw = jnp.where(e[None] == 0, 1.0, xb ** e[None])    # (n, f, d)
+    # x**0 -> 1 without evaluating pow at 0. The where must guard the
+    # INPUT as well as the output: d/dx x**0 = 0 * x**-1 is NaN at x = 0
+    # and a where on the output alone lets the NaN through the VJP
+    xb_safe = jnp.where(e[None] == 0, 1.0, xb)
+    pw = jnp.where(e[None] == 0, 1.0, xb_safe ** e[None])  # (n, f, d)
     theta = jnp.prod(pw, axis=-1)                       # (n, f)
     if trig_freqs:
         ks = jnp.arange(1, trig_freqs + 1, dtype=x.dtype)
@@ -118,15 +121,6 @@ def _stlsq(theta, y, threshold, ridge, n_sweeps):
     # are reported active=False but keep their (tiny) value zeroed
     mask = jnp.abs(w) >= threshold
     return jnp.where(mask, w, 0.0), mask
-
-
-def _fd_derivative(x, dt):
-    """2nd-order finite-difference d/dt along axis 0 (centered interior,
-    one-sided ends) — the default when the caller has no analytic x_dot."""
-    interior = (x[2:] - x[:-2]) / (2.0 * dt)
-    first = (-3.0 * x[0] + 4.0 * x[1] - x[2]) / (2.0 * dt)
-    last = (3.0 * x[-1] - 4.0 * x[-2] + x[-3]) / (2.0 * dt)
-    return jnp.concatenate([first[None], interior, last[None]], axis=0)
 
 
 def _monomial_name(e, names):
@@ -232,9 +226,11 @@ class Sindy:
         names = [f"x{i}" for i in range(d)] + [
             f"u{j}" for j in range(self.n_control)]
         out = [_monomial_name(e, names) for e in expts]
-        for k in range(1, self.trig_freqs + 1):
-            out += [f"sin({k} {nm})" for nm in names]
-            out += [f"cos({k} {nm})" for nm in names]
+        # evaluate_library emits ALL sin blocks (k-major, dim-minor),
+        # then all cos blocks — names must match that column order
+        ks = range(1, self.trig_freqs + 1)
+        out += [f"sin({k} {nm})" for k in ks for nm in names]
+        out += [f"cos({k} {nm})" for k in ks for nm in names]
         return out
 
     # -- evaluation --------------------------------------------------

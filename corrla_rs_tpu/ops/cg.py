@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.ops.mat_utils import PRECISION, apply_operator as _apply
 
 __all__ = ["CgResult", "cg_solve", "jacobi_preconditioner"]
 
@@ -41,12 +41,6 @@ class CgResult(NamedTuple):
     residual_norms: jnp.ndarray  # (n_iters + 1, k) per-iteration ||r||_2
     converged: jnp.ndarray    # (k,) bool, ||r|| <= tol * ||b||
     n_iters: int
-
-
-def _apply(a, block):
-    if callable(a):
-        return jnp.asarray(a(block))
-    return _mm(jnp.asarray(a), block)
 
 
 def jacobi_preconditioner(a) -> Callable:

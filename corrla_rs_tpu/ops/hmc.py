@@ -45,15 +45,22 @@ class HmcResult(NamedTuple):
 
 
 def _leapfrog(grad_fn, x, p, eps, inv_mass, n_steps):
-    """n_steps leapfrog steps for all chains at once. x, p: (c, d)."""
-    def body(_, carry):
-        x, p = carry
-        p = p + 0.5 * eps * grad_fn(x)
-        x = x + eps * (p * inv_mass)
-        p = p + 0.5 * eps * grad_fn(x)
-        return x, p
+    """n_steps leapfrog steps for all chains at once. x, p: (c, d).
 
-    return lax.fori_loop(0, n_steps, body, (x, p))
+    The gradient is CARRIED through the loop: the closing half-kick of
+    step i and the opening half-kick of step i+1 use the same grad(x),
+    and XLA cannot CSE across fori_loop iterations — carrying it halves
+    the gradient evaluations (n+1 instead of 2n)."""
+    def body(_, carry):
+        x, p, g = carry
+        p_half = p + 0.5 * eps * g
+        x = x + eps * (p_half * inv_mass)
+        g = grad_fn(x)
+        p = p_half + 0.5 * eps * g
+        return x, p, g
+
+    x, p, _g = lax.fori_loop(0, n_steps, body, (x, p, grad_fn(x)))
+    return x, p
 
 
 def _kinetic(p, inv_mass):
@@ -96,8 +103,8 @@ def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
         n_dev = mesh.shape[ax]
         if x0.shape[0] % n_dev != 0:
             raise ValueError(
-                f"n_chains ({x0.shape[0]}) must divide mesh axis "
-                f"({n_dev})")
+                f"mesh axis size ({n_dev}) must divide n_chains "
+                f"({x0.shape[0]})")
         x0 = jax.device_put(x0, NamedSharding(mesh, P(ax, None)))
     n_chains, d = x0.shape
     dtype = x0.dtype
@@ -119,15 +126,18 @@ def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
             cutoff = jax.random.randint(k_len, (), 1, n_leapfrog + 1)
 
             def body(i, carry):
-                xc, pc = carry
+                xc, pc, gc = carry
                 live = i < cutoff
-                pc2 = pc + 0.5 * eps * grad_batched(xc)
+                pc2 = pc + 0.5 * eps * gc
                 xc2 = xc + eps * (pc2 * inv_mass)
-                pc2 = pc2 + 0.5 * eps * grad_batched(xc2)
+                gc2 = grad_batched(xc2)
+                pc2 = pc2 + 0.5 * eps * gc2
                 return (jnp.where(live, xc2, xc),
-                        jnp.where(live, pc2, pc))
+                        jnp.where(live, pc2, pc),
+                        jnp.where(live, gc2, gc))
 
-            x_new, p_new = lax.fori_loop(0, n_leapfrog, body, (x, p0))
+            x_new, p_new, _g = lax.fori_loop(
+                0, n_leapfrog, body, (x, p0, grad_batched(x)))
         else:
             x_new, p_new = _leapfrog(grad_batched, x, p0, eps, inv_mass,
                                      n_leapfrog)
@@ -146,38 +156,48 @@ def hmc_run(init_chains, ln_prob_fn: Callable, n_steps: int,
         return x, lnp_x, a_stat, jnp.sum(divergent, dtype=jnp.int32)
 
     # -- warmup: dual averaging of log(eps), Hoffman-Gelman constants --
-    mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    def warm_body(carry, k):
-        x, lnp_x, log_eps, log_eps_bar, h_bar, t = carry
-        eps = jnp.exp(log_eps)
-        x, lnp_x, a_stat, _ = transition(x, lnp_x, eps,
-                                         jnp.ones((d,), dtype), k)
-        t = t + 1.0
-        h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
-                 + (target_accept - a_stat) / (t + t0))
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (x, lnp_x, log_eps, log_eps_bar, h_bar, t), x
+    def dual_avg_phase(x, lnp_x, keys, eps0, inv_mass):
+        """One dual-averaging phase at a FIXED metric."""
+        mu = jnp.log(10.0) + jnp.log(eps0)
+
+        def warm_body(carry, k):
+            x, lnp_x, log_eps, log_eps_bar, h_bar, t = carry
+            x, lnp_x, a_stat, _ = transition(x, lnp_x, jnp.exp(log_eps),
+                                             inv_mass, k)
+            t = t + 1.0
+            h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
+                     + (target_accept - a_stat) / (t + t0))
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (x, lnp_x, log_eps, log_eps_bar, h_bar, t), x
+
+        (x, lnp_x, _, log_eps_bar, _, _), hist = lax.scan(
+            warm_body,
+            (x, lnp_x, jnp.log(eps0), jnp.log(eps0),
+             jnp.zeros((), dtype), jnp.zeros((), dtype)),
+            keys,
+        )
+        return x, lnp_x, jnp.exp(log_eps_bar), hist
 
     lnp0 = lnp_batched(x0)
     keys_w = jax.random.split(key, int(n_warmup) + 1)
-    (x, lnp_x, _, log_eps_bar, _, _), warm_hist = lax.scan(
-        warm_body,
-        (x0, lnp0, jnp.log(jnp.asarray(init_step_size, dtype)),
-         jnp.log(jnp.asarray(init_step_size, dtype)),
-         jnp.zeros((), dtype), jnp.zeros((), dtype)),
-        keys_w[1:],
-    )
-    eps = jnp.exp(log_eps_bar)
-
-    if adapt_mass and n_warmup >= 20:
-        # second half of warmup: per-dimension posterior variance
-        tail = warm_hist[int(n_warmup) // 2:].reshape(-1, d)
-        var = jnp.var(tail, axis=0) + 1e-6
-        inv_mass = var            # inverse metric = variance (Stan)
+    do_mass = adapt_mass and n_warmup >= 20
+    # phase 1: unit metric (2/3 of warmup when a mass re-adapt follows)
+    n1 = (2 * int(n_warmup)) // 3 if do_mass else int(n_warmup)
+    eps0 = jnp.asarray(init_step_size, dtype)
+    x, lnp_x, eps, warm_hist = dual_avg_phase(
+        x0, lnp0, keys_w[1: n1 + 1], eps0, jnp.ones((d,), dtype))
+    if do_mass:
+        # metric from the settled half of phase 1, then RE-ADAPT eps
+        # under the new metric (a unit-metric eps is wrong for it —
+        # Stan's windowed warmup re-tunes after every metric update)
+        tail = warm_hist[n1 // 2:].reshape(-1, d)
+        inv_mass = jnp.var(tail, axis=0) + 1e-6
+        x, lnp_x, eps, _ = dual_avg_phase(
+            x, lnp_x, keys_w[n1 + 1:], eps, inv_mass)
     else:
         inv_mass = jnp.ones((d,), dtype)
 

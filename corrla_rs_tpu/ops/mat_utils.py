@@ -174,3 +174,22 @@ def complex_from_parts(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
 def parts_from_complex(c: jnp.ndarray):
     """Split a complex matrix into (re, im). Reference mat_utils.rs:316-337."""
     return jnp.real(c), jnp.imag(c)
+
+
+def apply_operator(a, block):
+    """A @ block for an explicit matrix or a batched-matvec callable
+    (n, k) -> (n, k) — the library-wide matrix-free operator protocol
+    (consumers: ops/trace_est, ops/slq, ops/cg)."""
+    if callable(a):
+        return jnp.asarray(a(block))
+    return jnp.matmul(jnp.asarray(a), block, precision=PRECISION)
+
+
+def fd_derivative(x, dt):
+    """2nd-order finite-difference d/dt along axis 0: centered interior,
+    one-sided 2nd-order ends. The shared stencil behind models/sindy and
+    models/opinf derivative estimation."""
+    interior = (x[2:] - x[:-2]) / (2.0 * dt)
+    first = (-3.0 * x[0] + 4.0 * x[1] - x[2]) / (2.0 * dt)
+    last = (3.0 * x[-1] - 4.0 * x[-2] + x[-3]) / (2.0 * dt)
+    return jnp.concatenate([first[None], interior, last[None]], axis=0)

@@ -51,10 +51,10 @@ class NutsResult(NamedTuple):
 def _uturn(x_lo, p_lo, x_hi, p_hi, rho, inv_mass):
     """Generalized U-turn criterion (Stan): the segment is turning when
     the momentum at either end points against the segment's total
-    momentum (velocities = M^-1 p)."""
+    momentum in the M^-1 metric: rho^T M^-1 p < 0 (ONE inv_mass
+    factor — applying it to both arguments would test in M^-2)."""
     v = rho * inv_mass
-    return (jnp.dot(v, p_lo * inv_mass) < 0.0) | (
-        jnp.dot(v, p_hi * inv_mass) < 0.0)
+    return (jnp.dot(v, p_lo) < 0.0) | (jnp.dot(v, p_hi) < 0.0)
 
 
 def _nuts_step_factory(ln_prob_fn, max_depth: int):
@@ -63,11 +63,15 @@ def _nuts_step_factory(ln_prob_fn, max_depth: int):
     def hamiltonian(x, p, inv_mass):
         return -ln_prob_fn(x) + 0.5 * jnp.sum(p * p * inv_mass)
 
-    def leapfrog(x, p, eps, inv_mass):
-        p = p + 0.5 * eps * grad_fn(x)
-        x = x + eps * (p * inv_mass)
-        p = p + 0.5 * eps * grad_fn(x)
-        return x, p
+    def leapfrog(x, p, g, eps, inv_mass):
+        """One step with the gradient carried across leaves (the closing
+        half-kick's grad is the next leaf's opening grad — carrying it
+        halves the gradient evaluations)."""
+        p_half = p + 0.5 * eps * g
+        x = x + eps * (p_half * inv_mass)
+        g = grad_fn(x)
+        p = p_half + 0.5 * eps * g
+        return x, p, g
 
     def build_subtree(key, x0, p0, v_eps, inv_mass, h0, depth, rho_in):
         """Expand 2^depth leapfrog steps from (x0, p0) with step v_eps.
@@ -84,14 +88,14 @@ def _nuts_step_factory(ln_prob_fn, max_depth: int):
         levels = jnp.arange(max_depth)
 
         def cond(st):
-            (i, _x, _p, _xp, _lsw, _rho, turning, divergent, _ck, _k,
+            (i, _x, _p, _g, _xp, _lsw, _rho, turning, divergent, _ck, _k,
              _sa, _na) = st
             return (i < n_leaves) & ~turning & ~divergent
 
         def body(st):
-            (i, x, p, x_prop, lsw, rho, turning, divergent,
+            (i, x, p, g, x_prop, lsw, rho, turning, divergent,
              (ck_x, ck_p, ck_rho0), key, s_alpha, n_alpha) = st
-            x, p = leapfrog(x, p, v_eps, inv_mass)
+            x, p, g = leapfrog(x, p, g, v_eps, inv_mass)
             # a level-k block starts at leaf i when i % 2^k == 0: its left
             # endpoint is THIS leaf (post-leapfrog) and its momentum sum
             # starts from rho before this leaf is added — matching the
@@ -125,14 +129,15 @@ def _nuts_step_factory(ln_prob_fn, max_depth: int):
                 lambda xl, pl, rb: _uturn(xl, pl, x, p, rb, inv_mass)
             )(ck_x, ck_p, rho_blk)
             turning = turning | jnp.any(turn_k & done)
-            return (i + 1, x, p, x_prop, lsw, rho, turning, divergent,
+            return (i + 1, x, p, g, x_prop, lsw, rho, turning, divergent,
                     (ck_x, ck_p, ck_rho0), key, s_alpha, n_alpha)
 
         zero = jnp.zeros((), x0.dtype)
-        st0 = (jnp.zeros((), jnp.int32), x0, p0, x0, -jnp.inf * (1 + zero),
+        st0 = (jnp.zeros((), jnp.int32), x0, p0, grad_fn(x0), x0,
+               -jnp.inf * (1 + zero),
                rho_in * 0.0, jnp.zeros((), bool), jnp.zeros((), bool),
                (ck_x, ck_p, ck_rho0), key, zero, zero)
-        (i, x, p, x_prop, lsw, rho, turning, divergent, _ck, _k,
+        (i, x, p, _g, x_prop, lsw, rho, turning, divergent, _ck, _k,
          s_alpha, n_alpha) = lax.while_loop(cond, body, st0)
         return x, p, x_prop, lsw, rho, turning, divergent, s_alpha, n_alpha
 
@@ -215,33 +220,42 @@ def nuts_run(init_chains, ln_prob_fn: Callable, n_steps: int,
                 jnp.mean(depth.astype(dtype)))
 
     # -- warmup: dual averaging (same constants as ops/hmc.py) --
-    mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    def warm_body(carry, k):
-        x, log_eps, log_eps_bar, h_bar, t = carry
-        x, a_stat, _dv, _dp = gen(x, jnp.exp(log_eps),
-                                  jnp.ones((d,), dtype), k)
-        t = t + 1.0
-        h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
-                 + (target_accept - a_stat) / (t + t0))
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (x, log_eps, log_eps_bar, h_bar, t), x
+    def dual_avg_phase(x, keys, eps0, inv_mass):
+        mu = jnp.log(10.0) + jnp.log(eps0)
+
+        def warm_body(carry, k):
+            x, log_eps, log_eps_bar, h_bar, t = carry
+            x, a_stat, _dv, _dp = gen(x, jnp.exp(log_eps), inv_mass, k)
+            t = t + 1.0
+            h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
+                     + (target_accept - a_stat) / (t + t0))
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (x, log_eps, log_eps_bar, h_bar, t), x
+
+        (x, _, log_eps_bar, _, _), hist = lax.scan(
+            warm_body,
+            (x, jnp.log(eps0), jnp.log(eps0),
+             jnp.zeros((), dtype), jnp.zeros((), dtype)),
+            keys,
+        )
+        return x, jnp.exp(log_eps_bar), hist
 
     keys_w = jax.random.split(key, int(n_warmup) + 1)
-    (x, _, log_eps_bar, _, _), warm_hist = lax.scan(
-        warm_body,
-        (x0, jnp.log(jnp.asarray(init_step_size, dtype)),
-         jnp.log(jnp.asarray(init_step_size, dtype)),
-         jnp.zeros((), dtype), jnp.zeros((), dtype)),
-        keys_w[1:],
-    )
-    eps = jnp.exp(log_eps_bar)
-    if adapt_mass and n_warmup >= 20:
-        tail = warm_hist[int(n_warmup) // 2:].reshape(-1, d)
+    do_mass = adapt_mass and n_warmup >= 20
+    # phase 1 on the unit metric; with mass adaptation, phase 2 RE-ADAPTS
+    # eps under the new metric (same rationale as ops/hmc.py)
+    n1 = (2 * int(n_warmup)) // 3 if do_mass else int(n_warmup)
+    x, eps, warm_hist = dual_avg_phase(
+        x0, keys_w[1: n1 + 1], jnp.asarray(init_step_size, dtype),
+        jnp.ones((d,), dtype))
+    if do_mass:
+        tail = warm_hist[n1 // 2:].reshape(-1, d)
         inv_mass = jnp.var(tail, axis=0) + 1e-6
+        x, eps, _ = dual_avg_phase(x, keys_w[n1 + 1:], eps, inv_mass)
     else:
         inv_mass = jnp.ones((d,), dtype)
 

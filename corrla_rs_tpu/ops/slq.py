@@ -33,18 +33,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.ops.mat_utils import PRECISION, apply_operator as _apply
 from corrla_rs_tpu.utils.prng import as_key
 
 __all__ = ["slq_spectral_sum", "slq_logdet", "lanczos_tridiag"]
 
 _mm = functools.partial(jnp.matmul, precision=PRECISION)
-
-
-def _apply(a, block):
-    if callable(a):
-        return jnp.asarray(a(block))
-    return _mm(jnp.asarray(a), block)
 
 
 @functools.partial(jax.jit, static_argnames=("a", "m"))

@@ -221,7 +221,8 @@ def dream_run_sharded(init_heads, ln_prob_fn, n_steps: int, key=0,
     n_dev = mesh.shape[axis_name]
     if heads.shape[0] % n_dev != 0:
         raise ValueError(
-            f"n_chains ({heads.shape[0]}) must divide mesh axis ({n_dev})"
+            f"mesh axis size ({n_dev}) must divide n_chains "
+            f"({heads.shape[0]})"
         )
     assert heads.shape[0] >= 2 * delta_max + 1
     heads = jax.device_put(
@@ -336,7 +337,8 @@ def stretch_run_sharded(init_walkers, ln_prob_fn, n_steps: int,
         raise ValueError(f"need an even n_walkers >= 4, got {n}")
     if (n // 2) % n_dev != 0:
         raise ValueError(
-            f"n_walkers/2 ({n // 2}) must divide mesh axis ({n_dev})")
+            f"mesh axis size ({n_dev}) must divide n_walkers/2 "
+            f"({n // 2})")
     halves = walkers.reshape(2, n // 2, d)
     halves = jax.device_put(
         halves, jax.sharding.NamedSharding(mesh, P(None, axis_name, None))
@@ -365,7 +367,8 @@ def demc_run_sharded(init_heads, ln_prob_fn, n_steps: int, gamma: float,
     n_dev = mesh.shape[axis_name]
     if heads.shape[0] % n_dev != 0:
         raise ValueError(
-            f"n_chains ({heads.shape[0]}) must divide mesh axis ({n_dev})"
+            f"mesh axis size ({n_dev}) must divide n_chains "
+            f"({heads.shape[0]})"
         )
     heads = jax.device_put(
         heads, jax.sharding.NamedSharding(mesh, P(axis_name, None))

@@ -611,6 +611,79 @@ def s_gappy():
             / float(np.max(np.abs(field)))), 1e-3
 
 
+@stage("hmc (50-dim gaussian)")
+def s_hmc():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.hmc import hmc_run
+
+    d = 50
+    sig = jnp.asarray(np.geomspace(0.1, 3.0, d), jnp.float32)
+
+    def lnp(x):
+        return -0.5 * jnp.sum((x / sig) ** 2)
+
+    x0 = jax.random.normal(jax.random.key(10), (16, d), jnp.float32)
+    res = hmc_run(x0, lnp, n_steps=300, n_warmup=300, key=11)
+    draws = np.asarray(res.history).reshape(-1, d)
+    return float(np.max(np.abs(draws.std(0) - np.asarray(sig))
+                        / np.asarray(sig))), 0.3
+
+
+@stage("batched pcg")
+def s_cg():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.cg import cg_solve
+
+    q, _ = np.linalg.qr(RNG.standard_normal((1024, 1024)))
+    a = (q * np.logspace(0, -3, 1024)) @ q.T
+    xt = RNG.standard_normal((1024, 4))
+    b = a @ xt
+    res = cg_solve(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+                   n_iters=200, tol=1e-5)
+    return float(np.max(np.abs(np.asarray(res.x) - xt))), 2e-2
+
+
+@stage("nuts (8-dim gaussian)")
+def s_nuts():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.nuts import nuts_run
+
+    sig = jnp.asarray(np.geomspace(0.2, 2.0, 8), jnp.float32)
+
+    def lnp(x):
+        return -0.5 * jnp.sum((x / sig) ** 2)
+
+    x0 = jax.random.normal(jax.random.key(12), (16, 8), jnp.float32)
+    res = nuts_run(x0, lnp, n_steps=300, n_warmup=300, key=13)
+    d = np.asarray(res.history[50:]).reshape(-1, 8)
+    return float(np.max(np.abs(d.std(0) - np.asarray(sig))
+                        / np.asarray(sig))), 0.25
+
+
+@stage("laplace approx")
+def s_laplace():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.laplace import laplace_approx
+
+    mu = jnp.array([1.0, -2.0, 0.5], jnp.float32)
+    cv = jnp.array([1.0, 0.5, 2.0], jnp.float32)
+
+    def lnp(x):
+        return -0.5 * jnp.sum((x - mu) ** 2 / cv)
+
+    res = laplace_approx(lnp, jnp.zeros(3, jnp.float32))
+    logz_true = 1.5 * np.log(2 * np.pi) + 0.5 * float(
+        np.sum(np.log(np.asarray(cv))))
+    return float(max(np.max(np.abs(np.asarray(res.x_map - mu))),
+                     abs(res.log_evidence - logz_true))), 1e-3
+
+
 def main():
     _require_tpu()
     import jax

@@ -218,3 +218,30 @@ def test_errors():
         m.predict(x)
     with pytest.raises(ValueError, match="control"):
         m.simulate(x[0], 5, dt=0.1)
+
+
+def test_trig_feature_names_match_columns():
+    """Regression (review r4): with trig_freqs >= 2 the name list must
+    follow evaluate_library's column order — ALL sin blocks (k-major),
+    then all cos blocks."""
+    x = jnp.asarray(np.linspace(0.1, 1.0, 50))[:, None]
+    m = Sindy(degree=1, threshold=0.0, ridge=0.0, trig_freqs=2)
+    m.fit(x, x_dot=jnp.cos(2.0 * x))  # d/dt target = cos(2 x0)
+    idx = {nm: j for j, nm in enumerate(m.feature_names_)}
+    assert m.feature_names_[-4:] == [
+        "sin(1 x0)", "sin(2 x0)", "cos(1 x0)", "cos(2 x0)"]
+    # the coefficient named cos(2 x0) is the one that's ~1
+    w = np.asarray(m.coefficients_)
+    assert abs(w[idx["cos(2 x0)"], 0] - 1.0) < 1e-6
+    assert abs(w[idx["cos(1 x0)"], 0]) < 1e-6
+
+
+def test_library_gradient_finite_at_zero():
+    """Regression (review r4): d/dx of the monomial library must be
+    finite at exact zeros (0**0 branch needs its INPUT guarded too)."""
+    import jax
+
+    e = polynomial_exponents(2, 2)
+    g = jax.grad(lambda x: jnp.sum(evaluate_library(x[None], e)))(
+        jnp.array([0.0, 1.0]))
+    assert bool(jnp.all(jnp.isfinite(g)))
