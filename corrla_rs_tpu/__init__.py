@@ -38,6 +38,7 @@ from corrla_rs_tpu.models.pod import PodI
 from corrla_rs_tpu.models.dmd import DMD, DMDc
 from corrla_rs_tpu.models.active_subspaces import (
     ActiveSsRsvd,
+    AdGradientEstimator,
     FittedActiveSsRsvd,
     PolyGradientEstimator,
 )
@@ -195,6 +196,7 @@ __all__ = [
     "ActiveSsRsvd",
     "FittedActiveSsRsvd",
     "PolyGradientEstimator",
+    "AdGradientEstimator",
     "DeMcSampler",
     "DreamSampler",
     "dream_run",

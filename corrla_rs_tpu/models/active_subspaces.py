@@ -143,6 +143,30 @@ class PolyGradientEstimator:
         )
 
 
+class AdGradientEstimator:
+    """EXACT gradients via ``jax.grad`` — the estimator the reference
+    could never have (Rust, no autodiff; its PolyGradientEstimator
+    exists purely to APPROXIMATE gradients from samples,
+    active_subspaces.rs:23-141). When the model is a jax-traceable
+    callable f: (k,) -> scalar, this is a drop-in ``grad_est`` for
+    ActiveSsRsvd with zero estimation error, no kNN support cloud and
+    no sample-count requirements: one vmapped reverse-mode pass per
+    query batch."""
+
+    def __init__(self, fn):
+        import jax as _jax
+
+        self.fn = fn
+        self._grad1 = _jax.grad(fn)
+        self._gradn = _jax.vmap(self._grad1)
+
+    def grad_at(self, x0) -> jnp.ndarray:
+        return self._grad1(jnp.asarray(x0)).reshape(1, -1)
+
+    def grad_batch(self, x_query) -> jnp.ndarray:
+        return self._gradn(jnp.asarray(x_query))
+
+
 class FittedActiveSsRsvd:
     """Fitted active subspace. Mirrors FittedActiveSsRsvd
     (active_subspaces.rs:45-198)."""

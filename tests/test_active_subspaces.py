@@ -212,3 +212,45 @@ def test_grad_est_support_chunk_matches(rng):
     g = np.asarray(est.grad_batch(x[:40]))
     g_c = np.asarray(est_c.grad_batch(x[:40]))
     np.testing.assert_allclose(g_c, g, rtol=1e-10)
+
+
+def test_ad_gradient_estimator_exact_subspace():
+    """Exact-AD gradients: the active subspace of a ridge function
+    f(x) = g(w . x) is span(w) EXACTLY — no kNN/local-fit estimation
+    error; the first eigenvalue carries all the variance."""
+    import jax
+
+    from corrla_rs_tpu.models.active_subspaces import (
+        ActiveSsRsvd,
+        AdGradientEstimator,
+        PolyGradientEstimator,
+    )
+
+    w = jnp.asarray(np.array([3.0, -1.0, 0.5, 2.0]) / np.linalg.norm(
+        [3.0, -1.0, 0.5, 2.0]))
+
+    def f(x):
+        z = jnp.dot(w, x)
+        return jnp.sin(z) + 0.5 * z ** 2
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (400, 4)))
+    est = AdGradientEstimator(f)
+    fit = ActiveSsRsvd(est, n_comps=2).fit(x)
+    lead = np.asarray(fit.components)[:, 0]
+    align = abs(float(np.dot(lead, np.asarray(w))))
+    assert align > 1.0 - 1e-12          # exact, not approximate
+    vals = np.asarray(fit.singular_vals).ravel()
+    assert vals[1] / vals[0] < 1e-10     # rank-1 gradient matrix
+
+    # grad_at parity with the batch path
+    g1 = np.asarray(est.grad_at(x[0]))
+    gb = np.asarray(est.grad_batch(x[:1]))
+    np.testing.assert_allclose(g1, gb, rtol=1e-14)
+
+    # and the sampled-data estimator agrees with AD to its own accuracy
+    y = jax.vmap(f)(x)
+    poly = PolyGradientEstimator(x, y, est_order=2, n_nbrs=30)
+    fit_p = ActiveSsRsvd(poly, n_comps=2).fit(x)
+    lead_p = np.asarray(fit_p.components)[:, 0]
+    assert abs(float(np.dot(lead_p, np.asarray(w)))) > 0.99
