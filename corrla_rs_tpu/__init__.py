@@ -123,6 +123,14 @@ from corrla_rs_tpu.ops.cg import cg_solve, jacobi_preconditioner
 from corrla_rs_tpu.ops.hmc import hmc_run
 from corrla_rs_tpu.ops.laplace import laplace_approx, laplace_sample
 from corrla_rs_tpu.ops.nuts import nuts_run
+from corrla_rs_tpu.ops.quadrature import (
+    clenshaw_curtis,
+    gauss_hermite,
+    gauss_legendre,
+    integrate,
+    smolyak_quadrature,
+    tensor_quadrature,
+)
 from corrla_rs_tpu.ops.multifidelity import (
     control_variate_estimate,
     mfmc_design,
@@ -204,6 +212,12 @@ __all__ = [
     "stretch_run",
     "hmc_run",
     "nuts_run",
+    "gauss_legendre",
+    "gauss_hermite",
+    "clenshaw_curtis",
+    "tensor_quadrature",
+    "smolyak_quadrature",
+    "integrate",
     "laplace_approx",
     "laplace_sample",
     "cg_solve",
