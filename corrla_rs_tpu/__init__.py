@@ -119,7 +119,11 @@ from corrla_rs_tpu.ops.diagnostics import (
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.ensemble_mcmc import EnsembleSampler, stretch_run
 from corrla_rs_tpu.ops.bayes_opt import BayesOpt, bayes_opt_minimize
-from corrla_rs_tpu.ops.cg import cg_solve, jacobi_preconditioner
+from corrla_rs_tpu.ops.cg import (
+    cg_solve,
+    jacobi_preconditioner,
+    nystrom_preconditioner,
+)
 from corrla_rs_tpu.ops.hmc import hmc_run
 from corrla_rs_tpu.ops.laplace import laplace_approx, laplace_sample
 from corrla_rs_tpu.ops.nuts import nuts_run
@@ -136,7 +140,12 @@ from corrla_rs_tpu.ops.multifidelity import (
     mfmc_design,
     mfmc_estimate,
 )
-from corrla_rs_tpu.ops.slq import lanczos_tridiag, slq_logdet, slq_spectral_sum
+from corrla_rs_tpu.ops.slq import (
+    lanczos_fn_apply,
+    lanczos_tridiag,
+    slq_logdet,
+    slq_spectral_sum,
+)
 from corrla_rs_tpu.ops.smc import smc_sample
 from corrla_rs_tpu.models.opinf import OpInf, kron2_compressed
 from corrla_rs_tpu.models.sindy import Sindy
@@ -222,6 +231,8 @@ __all__ = [
     "laplace_sample",
     "cg_solve",
     "jacobi_preconditioner",
+    "nystrom_preconditioner",
+    "lanczos_fn_apply",
     "BayesOpt",
     "bayes_opt_minimize",
     "smc_sample",

@@ -31,7 +31,8 @@ from jax import lax
 
 from corrla_rs_tpu.ops.mat_utils import PRECISION, apply_operator as _apply
 
-__all__ = ["CgResult", "cg_solve", "jacobi_preconditioner"]
+__all__ = ["CgResult", "cg_solve", "jacobi_preconditioner",
+           "nystrom_preconditioner"]
 
 _mm = functools.partial(jnp.matmul, precision=PRECISION)
 
@@ -52,6 +53,34 @@ def jacobi_preconditioner(a) -> Callable:
 
     def apply(v):
         return v * inv[:, None]
+
+    return apply
+
+
+def nystrom_preconditioner(a, rank: int, mu: float,
+                           n_oversamples: int = 8, key=0) -> Callable:
+    """Randomized Nystrom preconditioner for (A + mu I) x = b, A PSD
+    (Frangella, Tropp & Udell 2023): one sketch of A gives a rank-r
+    eigenapproximation U diag(lam) U^T, and
+
+        P^-1 = U diag((lam_r + mu) / (lam + mu)) U^T + (I - U U^T)
+
+    clusters the preconditioned spectrum near 1 wherever A's spectrum
+    decays past ``rank`` — regularized kernel/covariance solves converge
+    in O(1) CG iterations instead of O(sqrt(cond)). Pass the result as
+    ``cg_solve(a_plus_mu, b, preconditioner=...)``; building it costs
+    one (n, r) sketch matmul + one small eigh.
+    """
+    from corrla_rs_tpu.ops.nystrom import nystrom_eigh
+
+    lam, u = nystrom_eigh(a, int(rank), n_oversamples=n_oversamples,
+                          key=key)
+    lam = jnp.maximum(lam, 0.0)
+    scale = (lam[-1] + mu) / (lam + mu)          # (r,)
+
+    def apply(v):
+        utv = _mm(u.T, v)                         # (r, k)
+        return v + _mm(u, (scale - 1.0)[:, None] * utv)
 
     return apply
 

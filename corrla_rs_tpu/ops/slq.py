@@ -36,7 +36,8 @@ from jax import lax
 from corrla_rs_tpu.ops.mat_utils import PRECISION, apply_operator as _apply
 from corrla_rs_tpu.utils.prng import as_key
 
-__all__ = ["slq_spectral_sum", "slq_logdet", "lanczos_tridiag"]
+__all__ = ["slq_spectral_sum", "slq_logdet", "lanczos_tridiag",
+           "lanczos_fn_apply"]
 
 _mm = functools.partial(jnp.matmul, precision=PRECISION)
 
@@ -87,8 +88,8 @@ def _lanczos(v0, a, m):
         v0,
         jnp.zeros((p,), dtype),
     )
-    _, alphas, betas, _, _, _ = lax.fori_loop(0, m, body, carry)
-    return alphas, betas[: m - 1]
+    basis, alphas, betas, _, _, _ = lax.fori_loop(0, m, body, carry)
+    return alphas, betas[: m - 1], basis[:m]
 
 
 def lanczos_tridiag(a, v0, m: int):
@@ -97,8 +98,8 @@ def lanczos_tridiag(a, v0, m: int):
     matvec callable."""
     v0 = jnp.asarray(v0)
     if callable(a):
-        return _lanczos(v0, a, int(m))
-    return _lanczos(v0, jnp.asarray(a), int(m))
+        return _lanczos(v0, a, int(m))[:2]
+    return _lanczos(v0, jnp.asarray(a), int(m))[:2]
 
 
 def _quadrature(alphas, betas, f):
@@ -143,9 +144,9 @@ def slq_spectral_sum(a, f: Callable, n_probes: int = 24,
         as_key(key), (n, int(n_probes)), dtype=probe_dtype)
     v = v / jnp.sqrt(jnp.asarray(n, probe_dtype))   # unit columns, exactly
     if callable(a):
-        alphas, betas = _lanczos(v, a, m)
+        alphas, betas, _basis = _lanczos(v, a, m)
     else:
-        alphas, betas = _lanczos_jit(v, _HashableMat(a), m)
+        alphas, betas, _basis = _lanczos_jit(v, _HashableMat(a), m)
     per_probe = _quadrature(alphas, betas, f)        # v^T f(A) v / ||v||^2
     return float(n * jnp.mean(per_probe))
 
@@ -181,3 +182,38 @@ def slq_logdet(a, n_probes: int = 24, n_lanczos: int = 40, key=0,
 
     return slq_spectral_sum(a, f, n_probes=n_probes, n_lanczos=n_lanczos,
                             key=key, n_dim=n_dim, dtype=dtype)
+
+
+def lanczos_fn_apply(a, b, f: Callable, n_lanczos: int = 40):
+    """f(A) @ b for symmetric A via the Lanczos approximation
+    f(A) b ~= ||b|| V_m f(T_m) e1 (Saad 1992) — matrix exponentials
+    (exponential integrators), inverse square roots (sampling
+    N(0, A^-1) / whitening), fractional powers, all WITHOUT forming
+    f(A): m matvecs per column, exact when A's action on the Krylov
+    space is degree-< m polynomial. Columns of b (n, k) run in
+    lockstep (batched Lanczos, one vmapped eigh of the k tridiagonals).
+    """
+    b = jnp.asarray(b)
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    norms = jnp.linalg.norm(bb, axis=0)
+    tiny = jnp.finfo(bb.dtype).tiny
+    v0 = bb / jnp.maximum(norms, tiny)[None, :]
+    m = min(int(n_lanczos), bb.shape[0])
+    if callable(a):
+        alphas, betas, basis = _lanczos(v0, a, m)
+    else:
+        aa = jnp.asarray(a)
+        if aa.ndim != 2 or aa.shape[0] != aa.shape[1]:
+            raise ValueError(f"a must be square, got {aa.shape}")
+        alphas, betas, basis = _lanczos_jit(v0, _HashableMat(aa), m)
+
+    def build(al, be):
+        return jnp.diag(al) + jnp.diag(be, 1) + jnp.diag(be, -1)
+
+    t = jax.vmap(build, in_axes=(1, 1))(alphas, betas)   # (k, m, m)
+    theta, vecs = jnp.linalg.eigh(t)
+    # f(T) e1 = S f(theta) S^T e1
+    coef = jnp.einsum("kmj,kj->km", vecs, f(theta) * vecs[:, 0, :])
+    y = jnp.einsum("mnk,km->nk", basis, coef) * norms[None, :]
+    return y[:, 0] if vec else y
