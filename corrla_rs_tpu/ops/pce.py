@@ -292,6 +292,65 @@ class PolynomialChaos:
         self.r2 = float(1.0 - ss_res / ss_tot)
         return self
 
+    def fit_quadrature(self, fn, level: int = 3, rule=None):
+        """Stochastic collocation: SPECTRAL PROJECTION instead of
+        regression. Each coefficient is the integral c_k = E[f Psi_k],
+        evaluated with a sparse quadrature matched to the input measure
+        (ops/quadrature Smolyak: Clenshaw-Curtis for uniform inputs,
+        Gauss-Hermite for Gaussian) — exact whenever f Psi_k is within
+        the rule's polynomial exactness, no least-squares conditioning,
+        and the model is evaluated at STRUCTURED nodes you control.
+
+        fn: callable (d,) -> scalar (vmapped once over all nodes).
+        level: Smolyak level when ``rule`` is not given; or pass any
+        QuadratureRule over the STANDARD space (z in [-1,1]^d for
+        uniform, z ~ N(0, I) for gaussian).
+        """
+        from corrla_rs_tpu.ops.quadrature import smolyak_quadrature
+
+        if self.dist == "data":
+            raise ValueError(
+                "fit_quadrature needs a closed-form input measure; "
+                "dist='data' bases are defined by samples — use fit()")
+        if self.dist == "uniform":
+            d = self.bounds.shape[0]
+        else:
+            if self._mean is None or self._std is None:
+                raise ValueError(
+                    "dist='gaussian' projection needs mean=/std= at "
+                    "construction (there are no samples to estimate "
+                    "them from)")
+            d = self._mean.shape[0]
+        self._alpha = total_degree_multi_indices(d, self.order)
+        if rule is None:
+            kind = ("clenshaw_curtis" if self.dist == "uniform"
+                    else "gauss_hermite")
+            rule = smolyak_quadrature(d, int(level), rule=kind)
+        z = np.asarray(rule.nodes)                   # standard space
+        w = np.asarray(rule.weights)
+        if self.dist == "uniform":
+            lo = self.bounds[:, 0]
+            span = self.bounds[:, 1] - self.bounds[:, 0]
+            x_nodes = lo + 0.5 * (z + 1.0) * span
+            w = w / 2.0 ** d        # dz-mass 2^d -> probability measure
+        else:
+            x_nodes = self._mean + self._std * z
+        x_nodes = jnp.asarray(x_nodes)
+        import jax as _jax
+
+        vals = jnp.ravel(_jax.vmap(fn)(x_nodes))     # (n_nodes,)
+        psi = self._basis(x_nodes)                   # (n_nodes, P)
+        wj = jnp.asarray(w, psi.dtype)
+        self.coeffs = jnp.matmul(psi.T, wj * vals, precision=PRECISION)
+        # diagnostic: weighted surrogate residual at the nodes
+        y_hat = jnp.matmul(psi, self.coeffs, precision=PRECISION)
+        num = jnp.sum(jnp.abs(wj) * (vals - y_hat) ** 2)
+        den = jnp.maximum(jnp.sum(jnp.abs(wj) * (vals - jnp.sum(
+            wj * vals) / jnp.sum(wj)) ** 2),
+            jnp.finfo(psi.dtype).tiny)
+        self.r2 = float(1.0 - num / den)
+        return self
+
     def fit_sparse(self, x, y, max_order: int | None = None,
                    max_terms: int | None = None,
                    max_candidates: int = 20000):

@@ -297,3 +297,64 @@ def test_apc_degree_guard_and_sparse(rng):
     st = np.asarray(s["st"])
     assert st[1] > 0.1 and st[3] > 0.05
     assert np.all(st[[0, 2, 4, 5]] < 1e-6)
+
+
+def test_fit_quadrature_uniform_exact_polynomial():
+    """Spectral projection on uniform inputs: a polynomial model within
+    the basis is recovered EXACTLY (coefficients -> analytic mean/var/
+    Sobol), no regression conditioning involved."""
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.pce import PolynomialChaos
+
+    bounds = np.array([[-1.0, 1.0], [0.0, 2.0]])
+
+    def model(x):
+        return 2.0 + 3.0 * x[0] + x[0] * x[1] + 0.5 * x[1] ** 2
+
+    pce = PolynomialChaos(order=2, dist="uniform", bounds=bounds)
+    pce.fit_quadrature(model, level=3)
+    assert pce.r2 > 1.0 - 1e-12
+    # oracle: dense MC on the closed-form model
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(bounds[:, 0], bounds[:, 1], size=(400000, 2))
+    ys = 2.0 + 3.0 * xs[:, 0] + xs[:, 0] * xs[:, 1] + 0.5 * xs[:, 1] ** 2
+    assert pce.mean == pytest.approx(float(ys.mean()), abs=5e-3)
+    assert pce.var == pytest.approx(float(ys.var()), rel=5e-3)
+    # prediction is the model itself
+    xq = jnp.asarray(rng.uniform(bounds[:, 0], bounds[:, 1], (50, 2)))
+    np.testing.assert_allclose(
+        np.asarray(pce.predict(xq)),
+        np.asarray(jnp.asarray([model(q) for q in xq])), atol=1e-10)
+
+
+def test_fit_quadrature_gaussian_matches_regression():
+    """Gaussian inputs: projection and regression agree on a smooth
+    model; projection needs mean/std up front."""
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.pce import PolynomialChaos
+
+    mean = np.array([1.0, -0.5])
+    std = np.array([0.5, 2.0])
+
+    def model(x):
+        return jnp.sin(0.3 * x[0]) + 0.1 * x[1] ** 2
+
+    proj = PolynomialChaos(order=4, dist="gaussian", mean=mean, std=std)
+    proj.fit_quadrature(model, level=4)
+
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(mean + std * rng.standard_normal((4000, 2)))
+    ys = jax.vmap(model)(xs)
+    reg = PolynomialChaos(order=4, dist="gaussian", mean=mean,
+                          std=std).fit(xs, ys)
+    np.testing.assert_allclose(np.asarray(proj.coeffs),
+                               np.asarray(reg.coeffs), atol=2e-3)
+    assert proj.mean == pytest.approx(float(ys.mean()), abs=0.01)
+
+    with pytest.raises(ValueError, match="mean"):
+        PolynomialChaos(order=2, dist="gaussian").fit_quadrature(model)
+    with pytest.raises(ValueError, match="data"):
+        PolynomialChaos(order=2, dist="data").fit_quadrature(model)
