@@ -119,6 +119,7 @@ from corrla_rs_tpu.ops.diagnostics import (
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.ensemble_mcmc import EnsembleSampler, stretch_run
 from corrla_rs_tpu.ops.bayes_opt import BayesOpt, bayes_opt_minimize
+from corrla_rs_tpu.ops.cma import CmaResult, cma_es
 from corrla_rs_tpu.ops.cg import (
     cg_solve,
     jacobi_preconditioner,
@@ -234,6 +235,7 @@ __all__ = [
     "nystrom_preconditioner",
     "lanczos_fn_apply",
     "BayesOpt",
+    "cma_es",
     "bayes_opt_minimize",
     "smc_sample",
     "slq_logdet",
