@@ -128,6 +128,10 @@ from corrla_rs_tpu.ops.cg import (
 from corrla_rs_tpu.ops.hmc import hmc_run
 from corrla_rs_tpu.ops.laplace import laplace_approx, laplace_sample
 from corrla_rs_tpu.ops.nuts import nuts_run
+from corrla_rs_tpu.ops.shapley import (
+    shapley_effects,
+    shapley_effects_linear,
+)
 from corrla_rs_tpu.ops.quadrature import (
     clenshaw_curtis,
     gauss_hermite,
@@ -228,6 +232,8 @@ __all__ = [
     "tensor_quadrature",
     "smolyak_quadrature",
     "integrate",
+    "shapley_effects",
+    "shapley_effects_linear",
     "laplace_approx",
     "laplace_sample",
     "cg_solve",
