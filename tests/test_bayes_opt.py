@@ -42,11 +42,11 @@ def _quad(x):
 
 def test_minimize_quadratic_2d():
     res = bayes_opt_minimize(_quad, [[-1, 1], [-1, 1]], n_init=8,
-                             n_iters=20, key=0)
+                             n_iters=12, key=0)
     assert res.y_best < -0.98
     np.testing.assert_allclose(np.asarray(res.x_best), [0.3, -0.4],
                                atol=0.1)
-    assert res.n_evals == 28
+    assert res.n_evals == 20
 
 
 def _branin(x):
@@ -61,10 +61,10 @@ def test_branin_beats_random_search():
     """Equal budget: BO's best value must beat pure random search by a
     clear margin (Branin global min = 0.3979)."""
     bounds = [[-5.0, 10.0], [0.0, 15.0]]
-    res = bayes_opt_minimize(_branin, bounds, n_init=10, n_iters=25,
+    res = bayes_opt_minimize(_branin, bounds, n_init=10, n_iters=18,
                              key=1)
     rng = np.random.default_rng(2)
-    xr = rng.uniform([-5, 0], [10, 15], size=(35, 2))
+    xr = rng.uniform([-5, 0], [10, 15], size=(28, 2))
     y_rand = min(_branin(x) for x in xr)
     assert res.y_best < y_rand
     assert res.y_best < 0.6  # near the global optimum (0.3979)
