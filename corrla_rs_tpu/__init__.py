@@ -128,6 +128,7 @@ from corrla_rs_tpu.ops.cg import (
 from corrla_rs_tpu.ops.hmc import hmc_run
 from corrla_rs_tpu.ops.laplace import laplace_approx, laplace_sample
 from corrla_rs_tpu.ops.nuts import nuts_run
+from corrla_rs_tpu.ops.psis import importance_resample, psis
 from corrla_rs_tpu.ops.shapley import (
     shapley_effects,
     shapley_effects_linear,
@@ -233,6 +234,8 @@ __all__ = [
     "smolyak_quadrature",
     "integrate",
     "shapley_effects",
+    "psis",
+    "importance_resample",
     "shapley_effects_linear",
     "laplace_approx",
     "laplace_sample",
