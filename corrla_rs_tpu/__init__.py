@@ -141,6 +141,7 @@ from corrla_rs_tpu.ops.quadrature import (
     smolyak_quadrature,
     tensor_quadrature,
 )
+from corrla_rs_tpu.ops.mlmc import MlmcResult, mlmc_estimate
 from corrla_rs_tpu.ops.multifidelity import (
     control_variate_estimate,
     mfmc_design,
@@ -251,6 +252,7 @@ __all__ = [
     "slq_spectral_sum",
     "lanczos_tridiag",
     "mfmc_design",
+    "mlmc_estimate",
     "mfmc_estimate",
     "control_variate_estimate",
     "Sindy",
