@@ -85,7 +85,7 @@ class BayesOpt:
         if self.bounds.ndim != 2 or self.bounds.shape[1] != 2:
             raise ValueError(f"bounds must be (d, 2), got "
                              f"{self.bounds.shape}")
-        if acquisition not in ("ei", "lcb", "pi"):
+        if acquisition not in ("ei", "lcb", "pi", "variance"):
             raise ValueError(f"unknown acquisition {acquisition!r}")
         self.kernel = kernel
         self.acquisition = acquisition
@@ -125,6 +125,12 @@ class BayesOpt:
             def acq(xq):
                 m, v = gp.predict(xq)
                 return probability_of_improvement(m, v, best_z, self.xi)
+        elif self.acquisition == "variance":
+            # pure exploration (active learning / sequential surrogate
+            # design): maximize posterior uncertainty, ignore the mean
+            def acq(xq):
+                _m, v = gp.predict(xq)
+                return jnp.sqrt(jnp.maximum(v, 1e-18))
         else:
             def acq(xq):
                 m, v = gp.predict(xq)

@@ -141,3 +141,39 @@ def test_gp_posterior_draws():
     # coherence: neighboring queries are strongly correlated in draws
     c = np.corrcoef(np.asarray(draws[:, 20]), np.asarray(draws[:, 21]))
     assert c[0, 1] > 0.5 or emp_sd[20] < 1e-3
+
+
+def test_variance_acquisition_active_learning():
+    """acquisition='variance' = sequential surrogate design: after a few
+    adaptive points the GP's max posterior sd over the box drops well
+    below the initial design's, and faster than random additions."""
+    import jax
+
+    from corrla_rs_tpu.ops.gp import GpRegressor
+
+    def f(x):
+        return float(np.sin(3 * x[0]) + 0.5 * np.cos(5 * x[1]))
+
+    rng = np.random.default_rng(31)
+    x0 = rng.uniform(0, 1, (6, 2))
+    y0 = [f(p) for p in x0]
+
+    def max_sd(xs, ys):
+        gp = GpRegressor(noise_var=1e-6).fit(
+            jnp.asarray(xs), jnp.asarray(ys))
+        grid = jnp.asarray(rng.uniform(0, 1, (400, 2)))
+        _m, v = gp.predict(grid)
+        return float(jnp.sqrt(jnp.max(v)))
+
+    bo = BayesOpt([[0, 1], [0, 1]], acquisition="variance", key=32)
+    bo.tell(x0, y0)
+    for _ in range(6):
+        xn = np.asarray(bo.ask())[None]
+        bo.tell(xn, [f(xn[0])])
+    sd_active = max_sd(bo.x_observed, bo.y_observed)
+
+    x_rand = np.concatenate([x0, rng.uniform(0, 1, (6, 2))])
+    y_rand = [f(p) for p in x_rand]
+    sd_rand = max_sd(x_rand, y_rand)
+    assert sd_active < sd_rand
+    assert sd_active < 0.7 * max_sd(x0, y0)
