@@ -123,6 +123,36 @@ def _stlsq(theta, y, threshold, ridge, n_sweeps):
     return jnp.where(mask, w, 0.0), mask
 
 
+def weak_test_functions(n_samples: int, n_windows: int,
+                        window_frac: float = 0.2, poly_order: int = 4):
+    """Compactly supported polynomial bump test functions for weak-form
+    identification: phi(t) = ((t-a)(b-t))^p on K windows, zero at the
+    ends (so integration by parts carries NO boundary terms). Returns
+    (phi (K, n), dphi (K, n)) sampled on the trajectory grid (dphi in
+    index units; multiply by 1/dt outside)."""
+    n = int(n_samples)
+    k = int(n_windows)
+    w = max(int(window_frac * n), 2 * poly_order + 2)
+    w = min(w, n - 1)
+    starts = np.linspace(0, n - w - 1, k).astype(int)
+    t = np.arange(n, dtype=np.float64)
+    phi = np.zeros((k, n))
+    dphi = np.zeros((k, n))
+    p = poly_order
+    for i, a in enumerate(starts):
+        b = a + w
+        mask = (t >= a) & (t <= b)
+        u = t[mask]
+        base = (u - a) * (b - u)
+        phi[i, mask] = base ** p
+        dphi[i, mask] = p * base ** (p - 1) * ((b - u) - (u - a))
+        # normalize each row for balanced rows in the weak system
+        scale = np.linalg.norm(phi[i])
+        phi[i] /= scale
+        dphi[i] /= scale
+    return jnp.asarray(phi), jnp.asarray(dphi)
+
+
 def _monomial_name(e, names):
     parts = []
     for i, p in enumerate(e):
@@ -174,7 +204,9 @@ class Sindy:
         self._exponents = None
 
     # -- fitting -----------------------------------------------------
-    def fit(self, x, x_dot=None, u=None, dt: float = 1.0):
+    def fit(self, x, x_dot=None, u=None, dt: float = 1.0,
+            weak: bool = False, n_windows: int = 100,
+            window_frac: float = 0.2):
         """Identify dynamics from a trajectory.
 
         x (n, d): snapshots sampled every ``dt``.
@@ -182,7 +214,22 @@ class Sindy:
             (continuous-time only); finite-differenced from x otherwise.
         u (n, m): optional control inputs (SINDYc) — library features are
             built over (x, u), dynamics targets remain x.
+        weak: WEAK-FORM identification (Messenger & Bortz 2021 WSINDy):
+            instead of differentiating noisy data, integrate against
+            compactly supported test functions phi — integration by
+            parts turns x' phi into -x phi' (no boundary terms), so the
+            DATA is never differentiated and measurement noise is
+            averaged, not amplified. The regression becomes
+            (phi Theta dt) W = -(phi' x): same STLSQ, K = ``n_windows``
+            weak equations per state. Continuous-time only.
         """
+        if weak:
+            if self.discrete:
+                raise ValueError("weak=True is continuous-time only")
+            if x_dot is not None:
+                raise ValueError("weak=True derives its own targets; "
+                                 "x_dot is meaningless")
+            return self._fit_weak(x, u, dt, n_windows, window_frac)
         x = jnp.atleast_2d(jnp.asarray(x))
         n, d = x.shape
         self.n_dim = d
@@ -213,6 +260,41 @@ class Sindy:
         theta = evaluate_library(z, self._exponents, self.trig_freqs)
         w, mask = _stlsq(
             theta, y,
+            jnp.asarray(self.threshold, theta.dtype),
+            jnp.asarray(self.ridge, theta.dtype),
+            self.n_sweeps,
+        )
+        self.coefficients_ = w
+        self.mask_ = mask
+        self.feature_names_ = self._make_names(expts, d)
+        return self
+
+    def _fit_weak(self, x, u, dt, n_windows, window_frac):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        n, d = x.shape
+        self.n_dim = d
+        z = x
+        if u is not None:
+            u_lib = jnp.atleast_2d(jnp.asarray(u))
+            if u_lib.shape[0] != n:
+                raise ValueError(
+                    f"u rows {u_lib.shape[0]} != state rows {n}")
+            self.n_control = int(u_lib.shape[1])
+            z = jnp.concatenate([x, u_lib], axis=1)
+        else:
+            self.n_control = 0
+        expts = polynomial_exponents(
+            d + self.n_control, self.degree, self.include_bias)
+        self._exponents = jnp.asarray(expts)
+        theta = evaluate_library(z, self._exponents, self.trig_freqs)
+        phi, dphi = weak_test_functions(n, n_windows, window_frac)
+        phi = phi.astype(theta.dtype)
+        dphi = dphi.astype(theta.dtype)
+        # weak system: (phi Theta) W dt = -(dphi/dt) x dt = -dphi x
+        g = _mm(phi, theta) * dt                   # (K, f)
+        b = -_mm(dphi, x)                          # (K, d)
+        w, mask = _stlsq(
+            g, b,
             jnp.asarray(self.threshold, theta.dtype),
             jnp.asarray(self.ridge, theta.dtype),
             self.n_sweeps,

@@ -245,3 +245,48 @@ def test_library_gradient_finite_at_zero():
     g = jax.grad(lambda x: jnp.sum(evaluate_library(x[None], e)))(
         jnp.array([0.0, 1.0]))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_weak_form_noise_robust(lorenz_traj):
+    """WSINDy: with heavy measurement noise the weak form recovers the
+    Lorenz support and coefficients where FD-based SINDy degrades —
+    the data is integrated, never differentiated."""
+    x, dt = lorenz_traj
+    rng = np.random.default_rng(5)
+    xn = jnp.asarray(x + 0.25 * rng.standard_normal(x.shape))
+
+    weak = Sindy(degree=2, threshold=0.5).fit(
+        xn, dt=dt, weak=True, n_windows=150, window_frac=0.3)
+    strong = Sindy(degree=2, threshold=0.5).fit(xn, dt=dt)
+    truth, idx = _lorenz_true_coeffs(weak.feature_names_)
+
+    def max_rel_err(model):
+        w = np.asarray(model.coefficients_)
+        errs = []
+        for dim, terms in enumerate(truth):
+            for nm, expect in terms.items():
+                errs.append(abs(w[idx[nm], dim] - expect) / abs(expect))
+        return max(errs)
+
+    # weak support exact; coefficients within a few percent
+    w = np.asarray(weak.coefficients_)
+    for dim, terms in enumerate(truth):
+        active = {nm for nm, j in idx.items() if w[j, dim] != 0.0}
+        assert active == set(terms), dim
+    assert max_rel_err(weak) < 0.05
+    # and clearly better than differentiating the noise
+    assert max_rel_err(weak) < 0.5 * max_rel_err(strong)
+
+
+def test_weak_form_matches_strong_on_clean_data(lorenz_traj):
+    x, dt = lorenz_traj
+    weak = Sindy(degree=2, threshold=0.5).fit(x, dt=dt, weak=True)
+    truth, idx = _lorenz_true_coeffs(weak.feature_names_)
+    w = np.asarray(weak.coefficients_)
+    for dim, terms in enumerate(truth):
+        for nm, expect in terms.items():
+            assert w[idx[nm], dim] == pytest.approx(expect, rel=5e-3), nm
+    with pytest.raises(ValueError, match="continuous"):
+        Sindy(discrete=True).fit(x, weak=True)
+    with pytest.raises(ValueError, match="x_dot"):
+        Sindy().fit(x, x_dot=x, weak=True)
