@@ -684,6 +684,81 @@ def s_laplace():
                      abs(res.log_evidence - logz_true))), 1e-3
 
 
+@stage("smolyak quadrature")
+def s_quadrature():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.quadrature import integrate, smolyak_quadrature
+
+    r = smolyak_quadrature(6, 3)
+    c = np.full(6, 0.3)
+
+    def f(x):
+        return jnp.cos(0.5 + jnp.dot(jnp.asarray(c, jnp.float32),
+                                     x.astype(jnp.float32)))
+
+    truth = np.cos(0.5) * np.prod(2 * np.sin(c) / c)
+    got = integrate(f, r)
+    return float(abs(got - truth) / abs(truth)), 1e-3
+
+
+@stage("cma-es (rosenbrock)")
+def s_cma():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.cma import cma_es
+
+    def f(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    res = cma_es(f, jnp.full(4, -1.0, jnp.float32), sigma0=0.3,
+                 n_gens=400, pop_size=12, key=20)
+    return float(res.f_best), 1e-3
+
+
+@stage("shapley effects")
+def s_shapley():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.shapley import (
+        shapley_effects,
+        shapley_effects_linear,
+    )
+
+    rho = 0.6
+    cov = np.array([[1.0, rho, 0.0], [rho, 1.0, 0.0], [0.0, 0.0, 0.5]])
+    beta = np.array([1.0, -0.7, 1.5])
+    truth = shapley_effects_linear(beta, cov)
+
+    def model(x):
+        return x @ jnp.asarray(beta, jnp.float32)
+
+    sh = shapley_effects(model, np.zeros(3), cov, n_outer=512,
+                         n_inner=128, key=21)
+    return float(np.max(np.abs(np.asarray(sh) - truth))), 0.05
+
+
+@stage("mlmc")
+def s_mlmc():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.mlmc import mlmc_estimate
+
+    def level_fn(lvl):
+        def f(x):
+            return x[:, 0] ** 2 + 0.5 ** lvl * jnp.sin(7.0 * x[:, 0])
+        return f
+
+    def sample_inputs(key, n):
+        return jax.random.normal(key, (n, 1), jnp.float32)
+
+    r = mlmc_estimate([level_fn(l) for l in range(3)], sample_inputs,
+                      [1.0, 2.0, 4.0], target_se=0.02, key=22)
+    return float(abs(r.mean - 1.0)), 0.1
+
+
 def main():
     _require_tpu()
     import jax
