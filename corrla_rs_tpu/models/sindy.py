@@ -134,6 +134,12 @@ def weak_test_functions(n_samples: int, n_windows: int,
     k = int(n_windows)
     w = max(int(window_frac * n), 2 * poly_order + 2)
     w = min(w, n - 1)
+    if k > 1 and n - w - 1 < 1:
+        raise ValueError(
+            f"trajectory too short for weak-form windows: n={n} allows "
+            f"only one distinct window of width {w} (the weak system "
+            "would be rank-1); add samples or shrink window_frac/"
+            "poly_order")
     starts = np.linspace(0, n - w - 1, k).astype(int)
     t = np.arange(n, dtype=np.float64)
     phi = np.zeros((k, n))

@@ -55,8 +55,11 @@ def mlmc_estimate(level_fns: Sequence[Callable], sample_inputs: Callable,
     sample_inputs: (key, n) -> (n, d).
     costs: (L+1,) cost per evaluation of each level (the correction at
         level l is charged cost_l + cost_{l-1}).
-    target_se: desired standard error; with None, the pilot pairs are
-        simply scaled to n_max total cost allocation.
+    target_se: desired standard error (warns if n_max clips the
+        allocation below it); with None, ``n_max`` is an APPROXIMATE
+        total-cost budget — pilot cost is subtracted before allocating,
+        but per-level pilot floors and bucketing may overshoot the
+        realized cost by up to ~2x.
     bucket_sizes: round every top-up batch UP to a power of two —
         data-dependent allocations otherwise compile one XLA program
         per distinct batch shape (measured: the dominant wall cost of
@@ -99,8 +102,19 @@ def mlmc_estimate(level_fns: Sequence[Callable], sample_inputs: Callable,
     if target_se is not None:
         n_opt = np.ceil(lam * np.sqrt(v / corr_cost)
                         / target_se ** 2).astype(np.int64)
+        if np.any(n_opt > n_max):
+            import warnings
+
+            warnings.warn(
+                f"MLMC: optimal allocation {n_opt.max()} exceeds "
+                f"n_max={n_max}; the requested target_se will be "
+                "missed (raise n_max)", stacklevel=2)
     else:
-        budget = float(n_max)
+        # budget mode: spend (n_max - pilot cost) on the allocation;
+        # per-level pilot floors and power-of-two bucketing can still
+        # overshoot the target by up to ~2x (documented)
+        budget = max(float(n_max) - float(np.dot(counts, corr_cost)),
+                     0.0)
         n_opt = np.ceil(budget * np.sqrt(v / corr_cost)
                         / lam).astype(np.int64)
     n_opt = np.minimum(np.maximum(n_opt, n_pilot), n_max)

@@ -11,7 +11,8 @@ returns the shape estimate k-hat as a RELIABILITY DIAGNOSTIC:
 
     k-hat <= 0.5   : sound (finite variance),
     0.5 < k < 0.7  : usable, slower convergence,
-    k-hat >= 0.7   : do not trust the estimate (Vehtari's threshold).
+    k-hat >= 0.7   : do not trust the estimate (Vehtari's threshold);
+    k-hat = +inf   : too few weights to assess at all (n_tail < 5).
 
 The GPD fit is Zhang & Stephens (2009)'s quasi-Bayes profile estimator
 (the one PSIS prescribes) — closed-form profile likelihood over a fixed
@@ -94,7 +95,10 @@ def psis(log_weights) -> PsisResult:
             lw = lw.copy()
             lw[tail_idx] = new_tail
     else:
-        k_hat = float("-inf")
+        # too few tail points to fit the GPD: the diagnostic CANNOT
+        # certify the weights — fail safe (inf reads as 'do not trust'
+        # under the documented k_hat thresholds), never as sound
+        k_hat = float("inf")
     lw = lw - lw.max()
     w = np.exp(lw)
     w_sum = w.sum()

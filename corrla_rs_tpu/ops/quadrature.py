@@ -165,8 +165,15 @@ def smolyak_quadrature(n_dim: int, level: int,
 
 def integrate(fn: Callable, rule: QuadratureRule) -> float:
     """Integrate with one vmapped batched evaluation: sum_i w_i f(x_i).
-    ``fn`` maps a (d,) point to a scalar (jax-traceable or plain)."""
+    ``fn`` maps a (d,) point to a scalar; jax-traceable callables run as
+    ONE vmapped batch, plain Python/numpy callables fall back to an
+    eager per-node loop."""
     nodes = jnp.asarray(rule.nodes)
-    w = jnp.asarray(rule.weights)
-    vals = jax.vmap(fn)(nodes)
-    return float(jnp.dot(w, vals))
+    w = np.asarray(rule.weights)
+    try:
+        vals = jax.vmap(fn)(nodes)
+        return float(jnp.dot(jnp.asarray(w), vals))
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        vals = np.asarray([float(fn(p)) for p in nodes])
+        return float(np.dot(w, vals))

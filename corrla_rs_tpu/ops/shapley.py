@@ -59,17 +59,10 @@ def _subset_val_linear(beta, cov, s_idx):
     return float(gamma @ css @ gamma)
 
 
-def shapley_effects_linear(beta, cov) -> np.ndarray:
-    """Closed-form Shapley effects of y = beta^T x, x ~ N(mu, cov):
-    (d,) nonnegative, summing to 1."""
-    beta = np.asarray(beta, np.float64)
-    cov = np.asarray(cov, np.float64)
-    d = beta.shape[0]
-    vals = {}
-    for r in range(d + 1):
-        for s in itertools.combinations(range(d), r):
-            vals[s] = _subset_val_linear(beta, cov, list(s))
-    var_y = vals[tuple(range(d))]
+def _combine_shapley(vals: dict, d: int) -> np.ndarray:
+    """Exact Shapley combination of subset values: sum over subsets of
+    |S|!(d-|S|-1)!/d! increments, normalized by val(full set)."""
+    var_y = max(vals[tuple(range(d))], 1e-300)
     sh = np.zeros(d)
     fact_d = factorial(d)
     for s, v in vals.items():
@@ -80,6 +73,19 @@ def shapley_effects_linear(beta, cov) -> np.ndarray:
             w = factorial(len(s)) * factorial(d - len(s) - 1) / fact_d
             sh[i] += w * (vals[s_with] - v)
     return sh / var_y
+
+
+def shapley_effects_linear(beta, cov) -> np.ndarray:
+    """Closed-form Shapley effects of y = beta^T x, x ~ N(mu, cov):
+    (d,) nonnegative, summing to 1."""
+    beta = np.asarray(beta, np.float64)
+    cov = np.asarray(cov, np.float64)
+    d = beta.shape[0]
+    vals = {}
+    for r in range(d + 1):
+        for s in itertools.combinations(range(d), r):
+            vals[s] = _subset_val_linear(beta, cov, list(s))
+    return _combine_shapley(vals, d)
 
 
 def _conditional_factors(cov, s_idx, d):
@@ -141,21 +147,16 @@ def shapley_effects(model: Callable, mean, cov, n_outer: int = 128,
         x_full[:, :, s] = xs[:, None, :]
         x_full[:, :, scn] = draws
         y = np.asarray(model(jnp.asarray(x_full.reshape(-1, d))))
-        cond_mean = y.reshape(n_outer, n_inner).mean(axis=1)
-        return float(np.var(cond_mean))
+        yy = y.reshape(n_outer, n_inner)
+        cond_mean = yy.mean(axis=1)
+        # variance of an n_inner-sample mean is inflated by
+        # E[Var(Y|X_S)]/n_inner; subtract the standard correction
+        # (Song-Nelson-Staum) — zero extra model evaluations
+        within = yy.var(axis=1, ddof=1).mean()
+        return float(max(np.var(cond_mean) - within / n_inner, 0.0))
 
     vals = {}
     for r in range(d + 1):
         for s in itertools.combinations(range(d), r):
             vals[s] = val_of(list(s))
-    var_y = max(vals[tuple(range(d))], 1e-300)
-    sh = np.zeros(d)
-    fact_d = factorial(d)
-    for s, v in vals.items():
-        for i in range(d):
-            if i in s:
-                continue
-            s_with = tuple(sorted(s + (i,)))
-            w = factorial(len(s)) * factorial(d - len(s) - 1) / fact_d
-            sh[i] += w * (vals[s_with] - v)
-    return jnp.asarray(sh / var_y)
+    return jnp.asarray(_combine_shapley(vals, d))

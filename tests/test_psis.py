@@ -72,3 +72,12 @@ def test_weights_normalized_and_validation():
     assert res.n_tail > 0
     with pytest.raises(ValueError, match=">= 5"):
         psis(np.zeros(3))
+
+
+def test_tiny_sample_fails_safe():
+    """Regression (review): too few weights to fit the GPD must read as
+    UNRELIABLE (k_hat = +inf), never as sound."""
+    res = psis(np.random.default_rng(5).standard_normal(12))
+    assert res.k_hat == float("inf")
+    assert res.n_tail == 0
+    assert not (res.k_hat < 0.7)

@@ -101,3 +101,12 @@ def test_validation():
         smolyak_quadrature(2, 1, rule="nope")
     with pytest.raises(ValueError, match="level"):
         smolyak_quadrature(2, -1)
+
+
+def test_integrate_plain_python_callable():
+    """Regression (review): non-jax callables take the eager fallback."""
+    import math
+
+    r = gauss_legendre(6)
+    got = integrate(lambda x: math.cos(float(x[0])), r)
+    assert got == pytest.approx(2 * np.sin(1.0), rel=1e-10)

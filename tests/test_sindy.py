@@ -290,3 +290,11 @@ def test_weak_form_matches_strong_on_clean_data(lorenz_traj):
         Sindy(discrete=True).fit(x, weak=True)
     with pytest.raises(ValueError, match="x_dot"):
         Sindy().fit(x, x_dot=x, weak=True)
+
+
+def test_weak_form_short_trajectory_guard():
+    """Regression (review): a trajectory too short for distinct windows
+    must raise, not return a rank-1 garbage fit."""
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((11, 2)))
+    with pytest.raises(ValueError, match="rank-1"):
+        Sindy(degree=1).fit(x, dt=0.1, weak=True, n_windows=50)
