@@ -119,6 +119,7 @@ from corrla_rs_tpu.ops.diagnostics import (
 from corrla_rs_tpu.ops.dream import DreamSampler, dream_run
 from corrla_rs_tpu.ops.ensemble_mcmc import EnsembleSampler, stretch_run
 from corrla_rs_tpu.ops.bayes_opt import BayesOpt, bayes_opt_minimize
+from corrla_rs_tpu.ops.bridge import bridge_sampling_evidence
 from corrla_rs_tpu.ops.cma import CmaResult, cma_es
 from corrla_rs_tpu.ops.cg import (
     cg_solve,
@@ -248,6 +249,7 @@ __all__ = [
     "cma_es",
     "bayes_opt_minimize",
     "smc_sample",
+    "bridge_sampling_evidence",
     "slq_logdet",
     "slq_spectral_sum",
     "lanczos_tridiag",
