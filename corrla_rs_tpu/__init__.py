@@ -155,6 +155,12 @@ from corrla_rs_tpu.ops.slq import (
     slq_spectral_sum,
 )
 from corrla_rs_tpu.ops.smc import smc_sample
+from corrla_rs_tpu.ops.enkf import (
+    enkf_analysis,
+    enkf_filter,
+    esmda,
+    etkf_analysis,
+)
 from corrla_rs_tpu.models.opinf import OpInf, kron2_compressed
 from corrla_rs_tpu.models.sindy import Sindy
 from corrla_rs_tpu.ops.gp import GpRegressor, SparseGpRegressor
@@ -249,6 +255,10 @@ __all__ = [
     "cma_es",
     "bayes_opt_minimize",
     "smc_sample",
+    "enkf_analysis",
+    "enkf_filter",
+    "esmda",
+    "etkf_analysis",
     "bridge_sampling_evidence",
     "slq_logdet",
     "slq_spectral_sum",
