@@ -759,6 +759,51 @@ def s_mlmc():
     return float(abs(r.mean - 1.0)), 0.1
 
 
+@stage("etkf analysis (sample-kalman identity)")
+def s_etkf():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.enkf import etkf_analysis
+
+    n, p, n_ens = 8, 3, 32
+    x_ens = RNG.standard_normal((n_ens, n))
+    h = RNG.standard_normal((p, n))
+    r_diag = RNG.uniform(0.3, 1.0, size=p)
+    y_obs = RNG.standard_normal(p)
+    # f64 oracle: exact Kalman mean from the sample covariances
+    xbar = x_ens.mean(0)
+    xa = x_ens - xbar
+    ya = xa @ h.T
+    cyy = ya.T @ ya / (n_ens - 1) + np.diag(r_diag)
+    gain = np.linalg.solve(cyy, (xa.T @ ya / (n_ens - 1)).T).T
+    mean_ref = xbar + gain @ (y_obs - h @ xbar)
+    out = etkf_analysis(
+        jnp.asarray(x_ens, jnp.float32), jnp.asarray(y_obs, jnp.float32),
+        jnp.asarray(h, jnp.float32), jnp.asarray(r_diag, jnp.float32))
+    got = np.asarray(out, np.float64).mean(0)
+    return float(np.max(np.abs(got - mean_ref))), 1e-4
+
+
+@stage("es-mda (nonlinear inversion)")
+def s_esmda():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.enkf import esmda
+
+    theta_true = np.array([1.2, -0.7])
+    t_grid = jnp.linspace(0.0, 1.0, 16).astype(jnp.float32)
+    y_clean = theta_true[0] * np.exp(theta_true[1]
+                                     * np.asarray(t_grid, np.float64))
+    y_obs = (y_clean + 0.01 * RNG.standard_normal(16)).astype(np.float32)
+    prior = (np.array([1.0, -0.5])
+             + 0.3 * RNG.standard_normal((256, 2))).astype(np.float32)
+    sol = esmda(jnp.asarray(prior),
+                lambda t: t[0] * jnp.exp(t[1] * t_grid),
+                jnp.asarray(y_obs), 0.01**2, jax.random.key(3), n_mda=8)
+    return float(np.max(np.abs(np.asarray(sol["mean"]) - theta_true))), 0.1
+
+
 def main():
     _require_tpu()
     import jax
