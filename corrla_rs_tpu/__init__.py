@@ -155,6 +155,14 @@ from corrla_rs_tpu.ops.slq import (
     slq_spectral_sum,
 )
 from corrla_rs_tpu.ops.smc import smc_sample
+from corrla_rs_tpu.ops.particle import particle_filter, ukf_filter
+from corrla_rs_tpu.ops.gmm import (
+    GmmFit,
+    gmm_fit,
+    gmm_logpdf,
+    gmm_sample,
+    gmm_select,
+)
 from corrla_rs_tpu.ops.enkf import (
     enkf_analysis,
     enkf_filter,
@@ -255,6 +263,13 @@ __all__ = [
     "cma_es",
     "bayes_opt_minimize",
     "smc_sample",
+    "particle_filter",
+    "GmmFit",
+    "gmm_fit",
+    "gmm_logpdf",
+    "gmm_sample",
+    "gmm_select",
+    "ukf_filter",
     "enkf_analysis",
     "enkf_filter",
     "esmda",

@@ -804,6 +804,67 @@ def s_esmda():
     return float(np.max(np.abs(np.asarray(sol["mean"]) - theta_true))), 0.1
 
 
+@stage("ukf (linear = exact kalman)")
+def s_ukf():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.particle import ukf_filter
+
+    th = 0.4
+    a = 0.97 * np.array([[np.cos(th), -np.sin(th)],
+                         [np.sin(th), np.cos(th)]])
+    c_obs = np.array([[1.0, 0.5]])
+    q = 0.05 * np.eye(2)
+    r = np.array([[0.2]])
+    x = np.array([1.5, -0.5])
+    ys = []
+    for _ in range(40):
+        x = a @ x + RNG.multivariate_normal(np.zeros(2), q)
+        ys.append(c_obs @ x + RNG.multivariate_normal(np.zeros(1), r))
+    ys = np.asarray(ys)
+    m, p_cov = np.zeros(2), np.eye(2)
+    means_ref = []
+    for y in ys:
+        m = a @ m
+        p_cov = a @ p_cov @ a.T + q
+        s = c_obs @ p_cov @ c_obs.T + r
+        k = p_cov @ c_obs.T @ np.linalg.inv(s)
+        m = m + k @ (y - c_obs @ m)
+        p_cov = p_cov - k @ c_obs @ p_cov
+        means_ref.append(m.copy())
+    a_j = jnp.asarray(a, jnp.float32)
+    c_j = jnp.asarray(c_obs, jnp.float32)
+    from corrla_rs_tpu.utils.smallpath import (
+        set_small_path_threshold, small_path_threshold,
+    )
+    prev = small_path_threshold()
+    set_small_path_threshold(0)   # exercise the chip, not the CPU route
+    try:
+        out = ukf_filter(jnp.zeros(2, jnp.float32),
+                         jnp.eye(2, dtype=jnp.float32),
+                         jnp.asarray(ys, jnp.float32),
+                         lambda v: a_j @ v, lambda v: c_j @ v,
+                         jnp.asarray(q, jnp.float32),
+                         jnp.asarray(r, jnp.float32))
+    finally:
+        set_small_path_threshold(prev)
+    return float(np.max(np.abs(np.asarray(out["means"], np.float64)
+                               - np.asarray(means_ref)))), 5e-3
+
+
+@stage("gmm em (3 blobs)")
+def s_gmm():
+    from corrla_rs_tpu.ops.gmm import gmm_fit
+
+    mus = np.array([[0.0, 0.0], [6.0, 1.0], [-1.0, 7.0]])
+    xs = [RNG.multivariate_normal(mu, 0.6 * np.eye(2), size=250)
+          for mu in mus]
+    x = np.concatenate(xs).astype(np.float32)
+    fit = gmm_fit(x, 3, key=1)
+    got = np.sort(np.asarray(fit.means, np.float64), axis=0)
+    return float(np.max(np.abs(got - np.sort(mus, axis=0)))), 0.3
+
+
 def main():
     _require_tpu()
     import jax
