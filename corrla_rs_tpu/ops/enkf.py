@@ -261,6 +261,13 @@ def enkf_filter(x0_ens, y_seq, propagate, h, r, key,
     prop_v = jax.vmap(propagate)
     h_mat = None if callable(h) else jnp.asarray(h)
     infl = float(inflation)
+    # chol(R) is loop-invariant: hoist it out of the scan body (XLA is
+    # not guaranteed to hoist out of a while loop — ADVICE r4)
+    r_chol = None if r_diag is not None else jnp.linalg.cholesky(r_mat)
+    from corrla_rs_tpu.utils.smallpath import maybe_route_small
+    x0_ens, y_seq = maybe_route_small(
+        x0_ens, y_seq,
+        work_elems=int(y_seq.shape[0]) * n_ens * (n_state + p))
 
     def step(carry, inp):
         x_ens, k = carry
@@ -284,7 +291,7 @@ def enkf_filter(x0_ens, y_seq, propagate, h, r, key,
             else:
                 eps = _mm(jax.random.normal(k_r, (n_ens, p),
                                             x_f.dtype),
-                          jnp.linalg.cholesky(r_mat).T)
+                          r_chol.T)
             eps = eps - jnp.mean(eps, axis=0)
             x_a = _enkf_kernel_obs_space(x_f, y_ens, y_t + eps, r_mat)
         mean = jnp.mean(x_a, axis=0)

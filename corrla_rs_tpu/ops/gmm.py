@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from corrla_rs_tpu.ops.mat_utils import PRECISION
+from corrla_rs_tpu.utils.prng import as_key, split_key
 
 __all__ = ["GmmFit", "gmm_fit", "gmm_logpdf", "gmm_sample",
            "gmm_select"]
@@ -34,30 +35,37 @@ _mm = functools.partial(jnp.matmul, precision=PRECISION)
 class GmmFit(NamedTuple):
     """Fitted mixture: weights (k,), means (k, d), covs (k, d, d),
     log_likelihood (scalar, final total), n_iter (iterations until the
-    freeze predicate fired), responsibilities (n, k) at the optimum."""
+    freeze predicate fired), responsibilities (n, k) at the optimum,
+    cov_type ('full' or 'diag' — recorded so BIC/AIC count the right
+    number of covariance parameters)."""
     weights: jax.Array
     means: jax.Array
     covs: jax.Array
     log_likelihood: jax.Array
     n_iter: jax.Array
     responsibilities: jax.Array
+    cov_type: str = "full"
 
     @property
     def n_components(self) -> int:
         return int(self.weights.shape[0])
 
+    def _n_params(self) -> int:
+        k, d = self.means.shape
+        # diag fits estimate k*d variances, full fits k*d*(d+1)/2
+        cov_params = k * d if self.cov_type == "diag" \
+            else k * d * (d + 1) // 2
+        return k - 1 + k * d + cov_params
+
     def bic(self, n: int | None = None) -> float:
         """Bayesian information criterion (lower = better)."""
         n = int(self.responsibilities.shape[0]) if n is None else int(n)
-        k, d = self.means.shape
-        n_params = k - 1 + k * d + k * d * (d + 1) // 2
-        return float(n_params * np.log(n)
+        return float(self._n_params() * np.log(n)
                      - 2.0 * float(self.log_likelihood))
 
     def aic(self) -> float:
-        k, d = self.means.shape
-        n_params = k - 1 + k * d + k * d * (d + 1) // 2
-        return float(2.0 * n_params - 2.0 * float(self.log_likelihood))
+        return float(2.0 * self._n_params()
+                     - 2.0 * float(self.log_likelihood))
 
 
 def _component_logpdf(x, means, chols):
@@ -180,14 +188,13 @@ def gmm_fit(x, n_components: int, key=0, n_iter: int = 200,
     if cov_type not in ("full", "diag"):
         raise ValueError("cov_type must be 'full' or 'diag', got "
                          f"{cov_type!r}")
-    if np.ndim(key) == 0 and not hasattr(key, "dtype"):
-        key = jax.random.key(int(key))
+    key = as_key(key)
     from corrla_rs_tpu.utils.smallpath import maybe_route_small
     (x,) = maybe_route_small(x, work_elems=n * k * int(x.shape[1]) ** 2)
     w, means, covs, ll, it, resp = _gmm_em_kernel(
         x, key, k, int(n_iter), cov_type,
         jnp.asarray(reg, x.dtype), jnp.asarray(tol, x.dtype))
-    return GmmFit(w, means, covs, ll, it, resp)
+    return GmmFit(w, means, covs, ll, it, resp, cov_type)
 
 
 def gmm_logpdf(fit: GmmFit, x):
@@ -204,9 +211,7 @@ def gmm_logpdf(fit: GmmFit, x):
 def gmm_sample(fit: GmmFit, key, n: int):
     """Draw n samples: categorical component choice + vmapped
     Cholesky-colored normals (one gather, no per-sample branching)."""
-    if np.ndim(key) == 0 and not hasattr(key, "dtype"):
-        key = jax.random.key(int(key))
-    k_comp, k_norm = jax.random.split(key)
+    k_comp, k_norm = split_key(key, 2)
     comp = jax.random.categorical(
         k_comp, jnp.log(fit.weights), shape=(int(n),))
     chols = jnp.linalg.cholesky(fit.covs)

@@ -224,6 +224,9 @@ def ukf_filter(x0_mean, x0_cov, y_seq, f, h, q, r,
             g_s[:, None, :] * gain[None, :, :], axis=2)
         cov_new = 0.5 * (cov_new + cov_new.T)
         sign, logdet = jnp.linalg.slogdet(s)
+        # f32 PD breakdown of the innovation covariance must surface as
+        # NaN in loglik, not a silently wrong value (ADVICE r4)
+        logdet = jnp.where(sign > 0, logdet, jnp.nan)
         quad = jnp.sum(innov * jnp.linalg.solve(s, innov))
         ll = ll - 0.5 * (p * log2pi + logdet + quad)
         return (mean_new, cov_new, ll), (mean_new, cov_new)

@@ -57,6 +57,36 @@ class TestFit:
         off = covs - np.stack([np.diag(np.diag(c)) for c in covs])
         assert np.max(np.abs(off)) == 0.0
 
+    def test_diag_bic_counts_diag_params(self):
+        """A diag fit must be penalized for k*d covariance params, not
+        k*d*(d+1)/2 (ADVICE r4): on identical log-likelihoods the diag
+        BIC/AIC must be strictly smaller by the off-diagonal count."""
+        x, _, _ = _three_blobs(n_per=150, seed=6)
+        k, d = 3, 2
+        full = gmm_fit(x, k, key=2, cov_type="full")
+        diag = gmm_fit(x, k, key=2, cov_type="diag")
+        assert full.cov_type == "full" and diag.cov_type == "diag"
+        delta_params = k * d * (d - 1) // 2
+        n = x.shape[0]
+        # compare the penalty terms directly: bic + 2*ll = n_params*log(n)
+        pen_full = full.bic() + 2.0 * float(full.log_likelihood)
+        pen_diag = diag.bic() + 2.0 * float(diag.log_likelihood)
+        np.testing.assert_allclose(
+            pen_full - pen_diag, delta_params * np.log(n), rtol=1e-12)
+        aicp_full = full.aic() + 2.0 * float(full.log_likelihood)
+        aicp_diag = diag.aic() + 2.0 * float(diag.log_likelihood)
+        np.testing.assert_allclose(
+            aicp_full - aicp_diag, 2.0 * delta_params, rtol=1e-12)
+
+    def test_numpy_integer_seed(self):
+        """np.int64 seeds must coerce through utils.prng.as_key
+        (ADVICE r4: the old inline check passed them raw to split)."""
+        x, _, _ = _three_blobs(n_per=60, seed=7)
+        fit = gmm_fit(x, 2, key=np.int64(3), n_iter=20)
+        assert np.isfinite(float(fit.log_likelihood))
+        s = gmm_sample(fit, np.int64(5), 64)
+        assert s.shape == (64, 2)
+
     def test_single_component_is_sample_moments(self):
         rng = np.random.default_rng(8)
         x = rng.multivariate_normal([1.0, -2.0],

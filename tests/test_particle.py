@@ -66,6 +66,18 @@ class TestUkf:
             np.asarray(out["means"]), means_ref, atol=1e-8)
         assert abs(out["loglik"] - ll_ref) < 1e-6
 
+    def test_pd_breakdown_surfaces_as_nan(self):
+        """If the innovation covariance loses positive-definiteness the
+        loglik must be NaN, not a silently sign-dropped value
+        (ADVICE r4: slogdet's sign was discarded)."""
+        a, c_obs, q, _r, ys = _linear_fixture(t_len=5)
+        a_j, c_j = jnp.asarray(a), jnp.asarray(c_obs)
+        out = ukf_filter(
+            jnp.zeros(2), jnp.eye(2), jnp.asarray(ys),
+            lambda x: a_j @ x, lambda x: c_j @ x,
+            jnp.asarray(q), -10.0)  # negative R forces s not PD
+        assert np.isnan(out["loglik"])
+
     def test_nonlinear_tracks(self):
         # mildly nonlinear range-like observation of a rotating state
         rng = np.random.default_rng(3)
