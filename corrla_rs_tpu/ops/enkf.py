@@ -45,6 +45,25 @@ __all__ = ["enkf_analysis", "etkf_analysis", "enkf_filter", "esmda"]
 _mm = functools.partial(jnp.matmul, precision=PRECISION)
 
 
+def _member_shard(x_ens, mesh, axis_name):
+    """Member-shard the (N, n) ensemble over the mesh (SURVEY §2.2: the
+    ensemble axis is this family's tall axis). All analyses are built
+    from ensemble Grams (Ya^T Ya, Ya^T Xa) whose contraction runs over
+    the sharded member axis, so GSPMD inserts psums of the O(p*(p+n))
+    Gram blocks — the sharded-RSVD contract — and the (N, n) ensemble
+    itself never crosses a chip boundary (HLO-guarded in
+    tests/test_sharded_factorizations.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ax = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[ax]
+    if x_ens.shape[0] % n_dev:
+        raise ValueError(
+            f"mesh axis size ({n_dev}) must divide the ensemble size "
+            f"({x_ens.shape[0]})")
+    return jax.device_put(x_ens, NamedSharding(mesh, P(ax, None)))
+
+
 def _as_r_matrix(r, p, dtype):
     """Broadcast scalar / vector / matrix observation covariance to
     (p, p); returns (r_mat, r_diag_or_None) so diagonal R keeps its
@@ -106,7 +125,8 @@ def _enkf_kernel_ens_space(x_ens, y_ens, d_pert, r_inv_diag):
     return x_ens + _mm(_mm(coeff, ya.T), xa) / (n_ens - 1)
 
 
-def enkf_analysis(x_ens, y_obs, h, r, key, inflation: float = 1.0):
+def enkf_analysis(x_ens, y_obs, h, r, key, inflation: float = 1.0,
+                  mesh=None, axis_name=None):
     """Stochastic (perturbed-observation) EnKF analysis step.
 
     x_ens (N, n) forecast ensemble; y_obs (p,) observation; h the
@@ -119,6 +139,12 @@ def enkf_analysis(x_ens, y_obs, h, r, key, inflation: float = 1.0):
     Returns the analysis ensemble (N, n). Ensemble-space Woodbury is
     used automatically when p > N and R is diagonal, so megapixel
     observation vectors never trigger a (p, p) solve.
+
+    Multi-chip: ``mesh=`` member-shards the ensemble; the update's
+    member-axis Gram contractions psum O(p*(p+n)) blocks and the
+    perturbed-obs draw is key-identical to the single-device run, so
+    the sharded analysis matches at reduction-order (f64 ~1e-12)
+    tolerance. N must divide the mesh axis size.
     """
     x_ens = jnp.asarray(x_ens)
     if x_ens.ndim != 2:
@@ -126,6 +152,8 @@ def enkf_analysis(x_ens, y_obs, h, r, key, inflation: float = 1.0):
     n_ens = int(x_ens.shape[0])
     if n_ens < 2:
         raise ValueError("need at least 2 ensemble members")
+    if mesh is not None:
+        x_ens = _member_shard(x_ens, mesh, axis_name)
     y_obs = jnp.asarray(y_obs).reshape(-1)
     p = int(y_obs.shape[0])
     r_mat, r_diag = _as_r_matrix(r, p, x_ens.dtype)
@@ -179,7 +207,8 @@ def _etkf_kernel(x_ens, y_ens, y_obs, r_inv_diag):
     return xbar + _mm(w_full, xa)
 
 
-def etkf_analysis(x_ens, y_obs, h, r, inflation: float = 1.0):
+def etkf_analysis(x_ens, y_obs, h, r, inflation: float = 1.0,
+                  mesh=None, axis_name=None):
     """Deterministic ensemble-transform Kalman filter analysis.
 
     Same signature as :func:`enkf_analysis` minus the key (no
@@ -189,6 +218,12 @@ def etkf_analysis(x_ens, y_obs, h, r, inflation: float = 1.0):
     Kalman update built from the sample covariances, and the analysis
     SAMPLE covariance equals (I - KH) P_b exactly — no Monte-Carlo
     noise, which is why ETKF dominates stochastic EnKF at small N.
+
+    Multi-chip: ``mesh=`` member-shards the ensemble. The N x N
+    transform (eigh of the ensemble-space inner matrix) is replicated —
+    it is O(N^2) data, small by construction — while the O(N*n) state
+    block stays sharded; collectives move O(N*(N+p)) blocks, never the
+    ensemble.
     """
     x_ens = jnp.asarray(x_ens)
     if x_ens.ndim != 2:
@@ -196,6 +231,8 @@ def etkf_analysis(x_ens, y_obs, h, r, inflation: float = 1.0):
     n_ens = int(x_ens.shape[0])
     if n_ens < 2:
         raise ValueError("need at least 2 ensemble members")
+    if mesh is not None:
+        x_ens = _member_shard(x_ens, mesh, axis_name)
     y_obs = jnp.asarray(y_obs).reshape(-1)
     p = int(y_obs.shape[0])
     r_mat, r_diag = _as_r_matrix(r, p, x_ens.dtype)
@@ -224,7 +261,7 @@ def etkf_analysis(x_ens, y_obs, h, r, inflation: float = 1.0):
 
 def enkf_filter(x0_ens, y_seq, propagate, h, r, key,
                 method: str = "etkf", inflation: float = 1.0,
-                q=None):
+                q=None, mesh=None, axis_name=None):
     """Full forecast/analysis assimilation cycle as one lax.scan.
 
     x0_ens (N, n) initial ensemble; y_seq (T, p) observations;
@@ -237,6 +274,11 @@ def enkf_filter(x0_ens, y_seq, propagate, h, r, key,
     Returns a dict: ``means`` (T, n) analysis means, ``ensemble``
     (N, n) final analysis ensemble, ``spread`` (T,) mean analysis
     std — the filter-health diagnostic (collapse => inflate).
+
+    Multi-chip: ``mesh=`` member-shards the ensemble for the WHOLE
+    scan — forecasts are embarrassingly member-parallel (zero
+    collectives) and each analysis psums its O(p*(p+n)) Grams, so the
+    per-cycle ICI volume is independent of N.
     """
     x0_ens = jnp.asarray(x0_ens)
     n_ens, n_state = int(x0_ens.shape[0]), int(x0_ens.shape[1])
@@ -264,10 +306,13 @@ def enkf_filter(x0_ens, y_seq, propagate, h, r, key,
     # chol(R) is loop-invariant: hoist it out of the scan body (XLA is
     # not guaranteed to hoist out of a while loop — ADVICE r4)
     r_chol = None if r_diag is not None else jnp.linalg.cholesky(r_mat)
-    from corrla_rs_tpu.utils.smallpath import maybe_route_small
-    x0_ens, y_seq = maybe_route_small(
-        x0_ens, y_seq,
-        work_elems=int(y_seq.shape[0]) * n_ens * (n_state + p))
+    if mesh is not None:
+        x0_ens = _member_shard(x0_ens, mesh, axis_name)
+    else:
+        from corrla_rs_tpu.utils.smallpath import maybe_route_small
+        x0_ens, y_seq = maybe_route_small(
+            x0_ens, y_seq,
+            work_elems=int(y_seq.shape[0]) * n_ens * (n_state + p))
 
     def step(carry, inp):
         x_ens, k = carry
@@ -304,7 +349,7 @@ def enkf_filter(x0_ens, y_seq, propagate, h, r, key,
 
 
 def esmda(x_ens, forward, y_obs, r, key, n_mda: int = 4,
-          alphas=None):
+          alphas=None, mesh=None, axis_name=None):
     """Ensemble smoother with multiple data assimilation (Emerick &
     Reynolds 2013) — ensemble Bayesian inversion of a black-box
     forward model.
@@ -320,9 +365,16 @@ def esmda(x_ens, forward, y_obs, r, key, n_mda: int = 4,
     ``predicted`` (N, p) final forward evaluations, ``data_misfit``
     (n_mda+1,) mean normalized misfit per stage (monotone decrease is
     the convergence diagnostic).
+
+    Multi-chip: ``mesh=`` member-shards the ensemble once; the N
+    forward evaluations per stage — the expensive part of ES-MDA by
+    construction — run with zero collectives, and each tempered update
+    psums the same O(p*(p+d)) Grams as :func:`enkf_analysis`.
     """
     x_ens = jnp.asarray(x_ens)
     n_ens = int(x_ens.shape[0])
+    if mesh is not None:
+        x_ens = _member_shard(x_ens, mesh, axis_name)
     y_obs = jnp.asarray(y_obs).reshape(-1)
     p = int(y_obs.shape[0])
     if alphas is None:

@@ -198,13 +198,31 @@ def _nuts_step_factory(ln_prob_fn, max_depth: int):
 def nuts_run(init_chains, ln_prob_fn: Callable, n_steps: int,
              n_warmup: int = 500, max_depth: int = 8,
              target_accept: float = 0.8, init_step_size: float = 0.1,
-             key=0, adapt_mass: bool = True) -> NutsResult:
+             key=0, adapt_mass: bool = True, mesh=None,
+             axis_name=None) -> NutsResult:
     """Run NUTS on parallel chains (same contract as ops/hmc.hmc_run,
-    minus the trajectory-length knob NUTS exists to remove)."""
+    minus the trajectory-length knob NUTS exists to remove).
+
+    Multi-chip: chains are INDEPENDENT (the U-turn machinery is
+    per-chain), so ``mesh=`` is pure GSPMD chain-data-parallelism like
+    ops/hmc.py — zero collectives inside the doubling loops; only the
+    scalar dual-averaging statistic, divergence count and warmup
+    moments reduce across chains, so the sharded run is statistically
+    identical (not bitwise: those reductions reassociate)."""
     x0 = jnp.asarray(init_chains)
     if x0.ndim != 2:
         raise ValueError(f"init_chains must be (n_chains, d), got "
                          f"{x0.shape}")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = axis_name or mesh.axis_names[0]
+        n_dev = mesh.shape[ax]
+        if x0.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"mesh axis size ({n_dev}) must divide n_chains "
+                f"({x0.shape[0]})")
+        x0 = jax.device_put(x0, NamedSharding(mesh, P(ax, None)))
     n_chains, d = x0.shape
     dtype = x0.dtype
     key = as_key(key)

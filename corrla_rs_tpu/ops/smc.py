@@ -115,7 +115,8 @@ def _mutate(key, particles, lnp_vals, ln_target, n_mcmc, gamma, jitter):
 def smc_sample(ln_like: Callable, ln_prior: Callable, init_particles,
                n_mcmc: int = 5, ess_target: float = 0.5, key=0,
                max_stages: int = 100, gamma: float | None = None,
-               jitter: float = 1e-12) -> SmcResult:
+               jitter: float = 1e-12, mesh=None,
+               axis_name=None) -> SmcResult:
     """Anneal ``init_particles`` (drawn from the prior) to the posterior.
 
     ln_like / ln_prior: per-point log-likelihood / log-prior callables
@@ -126,12 +127,31 @@ def smc_sample(ln_like: Callable, ln_prior: Callable, init_particles,
     Returns an SmcResult; ``log_evidence`` estimates
     log ∫ exp(ln_prior) exp(ln_like) dx (so with a normalized prior it is
     the marginal likelihood).
+
+    Multi-chip: ``mesh=`` particle-shards the population. Per stage the
+    likelihood sweep and mutation log-probs run shard-local; the
+    ESS/evidence reductions psum O(1) scalars, and only the resample
+    gather and the DEMC difference-proposal gathers move the (n, d)
+    population (d is the parameter dimension — tiny by MCMC standards;
+    the SURVEY §2.2 chain-head contract). Same keys as the
+    single-device path, so results agree at reduction-order tolerance.
+    n must divide the mesh axis size.
     """
     particles = jnp.asarray(init_particles)
     n, d = particles.shape
     if gamma is None:
         gamma = 2.38 / (2.0 * d) ** 0.5
     key = as_key(key)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = axis_name or mesh.axis_names[0]
+        if n % mesh.shape[ax]:
+            raise ValueError(
+                f"mesh axis size ({mesh.shape[ax]}) must divide the "
+                f"particle count ({n})")
+        particles = jax.device_put(
+            particles, NamedSharding(mesh, P(ax, None)))
 
     @functools.partial(jax.jit, static_argnames=())
     def stage(particles, beta, key):

@@ -164,3 +164,35 @@ def test_sharded_pca_cov_path_never_gathers_the_matrix(mesh):
     a = rng.standard_normal((n, m_cols))
     fit = PcaRsvd(a, 4, mesh=mesh)  # smoke: builds with the mesh
     assert np.asarray(fit.singular_values).shape[0] == 4
+
+
+def test_sharded_enkf_never_gathers_the_ensemble(mesh):
+    """Member-sharded EnKF contract (VERDICT r4 item 3): collectives
+    move O(p*(p+n)) Gram blocks and O(n) means — never the (N, n)
+    ensemble. A rework that makes GSPMD gather the ensemble jumps the
+    largest collective from ~p*n*8 bytes to N*n*8 and fails here."""
+    from corrla_rs_tpu.ops.enkf import _enkf_kernel_obs_space, _member_shard
+
+    n_ens, n, p = 64, 512, 3
+    rng = np.random.default_rng(7)
+    x_ens = _member_shard(
+        jnp.asarray(rng.standard_normal((n_ens, n))), mesh, None)
+    y_ens = jnp.asarray(rng.standard_normal((n_ens, p)))
+    d_pert = jnp.asarray(rng.standard_normal((n_ens, p)))
+    r_mat = jnp.eye(p) * 0.3
+
+    txt = _enkf_kernel_obs_space.lower(
+        x_ens, y_ens, d_pert, r_mat).compile().as_text()
+    colls = _collective_byte_sizes(txt)
+    assert colls, "expected collectives in the sharded EnKF HLO"
+    ensemble_bytes = n_ens * n * 8
+    # one member shard of the ensemble is the hard ceiling; the design
+    # budget is the psum'd (p, n) cross-Gram with layout headroom
+    shard_limit = ensemble_bytes // 8
+    offenders = [c for c in colls if c[1] >= shard_limit]
+    assert not offenders, (
+        f"collective(s) moving >= one member shard ({shard_limit} B): "
+        f"{offenders}")
+    legal = 8 * max(p * n, p * p, n) * 8
+    big = [c for c in colls if c[1] > legal]
+    assert not big, f"collective exceeds the documented O(p*n) budget: {big}"
