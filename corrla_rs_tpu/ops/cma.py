@@ -61,7 +61,7 @@ def _params(d: int, pop: int):
 
 def cma_es(fn: Callable, x0, sigma0: float = 0.5, n_gens: int = 200,
            pop_size: int | None = None, key=0,
-           bounds=None) -> CmaResult:
+           bounds=None, mesh=None, axis_name=None) -> CmaResult:
     """Minimize ``fn`` from ``x0`` with initial step scale ``sigma0``.
 
     fn: (d,) -> scalar. jax-traceable objectives run the WHOLE
@@ -71,11 +71,29 @@ def cma_es(fn: Callable, x0, sigma0: float = 0.5, n_gens: int = 200,
     bounds: optional (d, 2) box — candidates are clipped before
     evaluation (simple projection; the distribution itself is
     unconstrained).
+    mesh: optional ``jax.sharding.Mesh`` — population-shards each
+    generation's candidate matrix so the objective evaluations (the
+    expensive part for simulation-backed objectives) run shard-local;
+    the only cross-device traffic is the (pop,) fitness gather feeding
+    the selection argsort, and the (d, d) distribution updates stay
+    replicated. Requires a jax-traceable objective and
+    pop_size % n_devices == 0. Same answer as single-device up to
+    float reassociation.
     """
     x0 = jnp.asarray(x0, jnp.result_type(float))
     d = x0.shape[0]
     pop = int(pop_size) if pop_size else 4 + int(3 * np.log(d))
     pop = max(pop, 4)
+    pop_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = axis_name or mesh.axis_names[0]
+        n_dev = mesh.shape[ax]
+        if pop % n_dev != 0:
+            raise ValueError(
+                f"mesh axis size ({n_dev}) must divide pop_size ({pop})")
+        pop_sharding = NamedSharding(mesh, P(ax, None))
     (mu, w, mu_eff, c_sigma, d_sigma, c_c, c_1, c_mu,
      chi_n) = _params(d, pop)
     dtype = x0.dtype
@@ -98,6 +116,11 @@ def cma_es(fn: Callable, x0, sigma0: float = 0.5, n_gens: int = 200,
         if lo is not None:
             xs = jnp.clip(xs, lo[None, :], hi[None, :])
             y = (xs - mean[None, :]) / sigma
+        if pop_sharding is not None:
+            # pin the population axis over the mesh: candidate evals run
+            # shard-local; only the (pop,) fitness vector crosses devices
+            xs = jax.lax.with_sharding_constraint(xs, pop_sharding)
+            y = jax.lax.with_sharding_constraint(y, pop_sharding)
         fs = eval_pop(xs)
         order = jnp.argsort(fs)
         y_sel = y[order[:mu]]                             # (mu, d)
@@ -144,6 +167,11 @@ def cma_es(fn: Callable, x0, sigma0: float = 0.5, n_gens: int = 200,
         def eval_pop(xs):
             return jnp.asarray([float(fn(np.asarray(p))) for p in xs])
 
+    if mesh is not None and not traceable:
+        raise ValueError(
+            "mesh= requires a jax-traceable objective (the eager "
+            "black-box path evaluates candidates on the host)")
+
     state = (x0, jnp.asarray(float(sigma0), dtype),
              jnp.eye(d, dtype=dtype),
              jnp.zeros(d, dtype), jnp.zeros(d, dtype),
@@ -151,7 +179,12 @@ def cma_es(fn: Callable, x0, sigma0: float = 0.5, n_gens: int = 200,
              jnp.asarray(jnp.inf, dtype))
     keys = jax.random.split(as_key(key), int(n_gens))
     if traceable:
-        state, hist = lax.scan(gen_update, state, keys)
+        scan_all = lambda s, ks: lax.scan(gen_update, s, ks)  # noqa: E731
+        if mesh is not None:
+            # explicit jit so the sharding constraints reach GSPMD as
+            # one partitioned program (eager scan would run per-gen)
+            scan_all = jax.jit(scan_all)
+        state, hist = scan_all(state, keys)
         hist = jnp.asarray(hist)
     else:
         hist_l = []

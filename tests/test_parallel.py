@@ -666,3 +666,32 @@ def test_sharded_nuts_matches_single():
     np.testing.assert_allclose(t2.std(0), t1.std(0), rtol=0.15)
     with pytest.raises(ValueError, match="divide"):
         nuts_run(jnp.zeros((6, 2)), lnp, 5, mesh=mesh)
+
+
+def test_sharded_cma_matches_single():
+    """CMA-ES mesh= population-shards the candidate evaluations; the
+    distribution updates are replicated, so the sharded run is the SAME
+    deterministic algorithm — identical up to float reassociation in
+    the fitness gather (f64: tight tolerance)."""
+    from corrla_rs_tpu.ops.cma import cma_es
+
+    _require_8()
+    mesh = make_mesh(8)
+
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    x0 = jnp.asarray([-1.2, 1.0, 0.7], jnp.float64)
+    r1 = cma_es(rosen, x0, sigma0=0.4, n_gens=120, pop_size=16, key=5)
+    r2 = cma_es(rosen, x0, sigma0=0.4, n_gens=120, pop_size=16, key=5,
+                mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r2.x_best),
+                               np.asarray(r1.x_best), rtol=1e-8, atol=1e-8)
+    assert r2.f_best == pytest.approx(r1.f_best, rel=1e-8, abs=1e-10)
+    assert r2.f_best < 1e-3  # actually optimizes
+    with pytest.raises(ValueError, match="divide"):
+        cma_es(rosen, x0, n_gens=5, pop_size=6, mesh=mesh)
+    with pytest.raises(ValueError, match="traceable"):
+        cma_es(lambda p: float(np.sum(p**2)), np.zeros(3), n_gens=5,
+               pop_size=16, mesh=mesh)
