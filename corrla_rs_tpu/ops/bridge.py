@@ -22,7 +22,6 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import logsumexp
 
 from corrla_rs_tpu.utils.prng import as_key
 
@@ -78,25 +77,36 @@ def bridge_sampling_evidence(ln_post_fn: Callable, posterior_draws,
     z_prop = jax.random.normal(as_key(key), (n2, d), draws.dtype)
     prop_draws = mu[None, :] + z_prop @ chol.T
 
-    # log ratios l = ln q_post - ln q_prop on both sets
-    l1 = (jax.vmap(ln_post_fn)(use_half)
-          - jax.vmap(ln_prop)(use_half))          # posterior set
-    l2 = (jax.vmap(ln_post_fn)(prop_draws)
-          - jax.vmap(ln_prop)(prop_draws))        # proposal set
+    # log ratios l = ln q_post - ln q_prop on both sets — the ONLY
+    # device work (the vmapped log-density sweeps); everything below is
+    # O(n)-scalar host algebra
+    l1 = np.asarray(jax.vmap(ln_post_fn)(use_half)
+                    - jax.vmap(ln_prop)(use_half), np.float64)  # post set
+    l2 = np.asarray(jax.vmap(ln_post_fn)(prop_draws)
+                    - jax.vmap(ln_prop)(prop_draws), np.float64)  # prop set
     s1 = n1 / (n1 + n2)
     s2 = n2 / (n1 + n2)
     log_s1, log_s2 = np.log(s1), np.log(s2)
 
+    def _lse(a):
+        m = np.max(a)
+        return m + np.log(np.sum(np.exp(a - m)))
+
     # optimal-bridge fixed point on r = log Z (Meng-Wong iteration in
     # log space): r <- logmean[ exp(l2) / (s1 exp(l2) + s2 exp(r)) ]
     #              - logmean[ 1 / (s1 exp(l1) + s2 exp(r)) ]
-    r = float(jnp.median(l2))    # robust start
+    # Runs in HOST f64 whatever the draw dtype: per-iteration device
+    # dispatch would pay ~100 tunnel round-trips, and an f32 iterate
+    # jitters at eps*|log Z| so tight tolerances would never be met
+    # (measured: converged=False on every f32 TPU run of the capstone
+    # demo before this hoist).
+    r = float(np.median(l2))    # robust start
     converged = False
     it = 0
     for it in range(1, int(n_iters) + 1):
-        num = logsumexp(l2 - jnp.logaddexp(log_s1 + l2, log_s2 + r)) \
+        num = _lse(l2 - np.logaddexp(log_s1 + l2, log_s2 + r)) \
             - np.log(n2)
-        den = logsumexp(-jnp.logaddexp(log_s1 + l1, log_s2 + r)) \
+        den = _lse(-np.logaddexp(log_s1 + l1, log_s2 + r)) \
             - np.log(n1)
         r_new = float(num - den)
         if abs(r_new - r) < tol * max(1.0, abs(r_new)):
