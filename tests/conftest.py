@@ -70,13 +70,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _map_headroom_low():
+    """True when this process has consumed >50% of vm.max_map_count.
+    Clearing jax caches costs a full re-trace + persistent-cache reload
+    of every executable the next module touches (~100-200s across the
+    suite), so only pay it when the map budget is actually at risk."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            limit = int(f.read())
+        with open("/proc/self/maps", "rb") as f:
+            used = sum(1 for _ in f)
+        return used > limit // 2
+    except OSError:
+        return True  # can't measure: keep the conservative behavior
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_executable_maps():
-    """Release compiled executables after each test module (see the
-    vm.max_map_count note above). Cross-module re-JITs re-trace but
-    reload compiled code from the persistent cache."""
+    """Release compiled executables between test modules ONLY when the
+    process is approaching vm.max_map_count (see the note above).
+    When conftest raised the limit to 1M this never fires; on low-limit
+    non-root hosts it keeps the map count bounded as before."""
     yield
-    jax.clear_caches()
+    if _map_headroom_low():
+        jax.clear_caches()
 
 
 @pytest.fixture

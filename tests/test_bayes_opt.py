@@ -40,6 +40,7 @@ def _quad(x):
     return (float((x[0] - 0.3) ** 2 + 2.0 * (x[1] + 0.4) ** 2) - 1.0)
 
 
+@pytest.mark.slow
 def test_minimize_quadratic_2d():
     res = bayes_opt_minimize(_quad, [[-1, 1], [-1, 1]], n_init=8,
                              n_iters=12, key=0)
@@ -57,6 +58,7 @@ def _branin(x):
             + s * (1 - t) * np.cos(x1) + s)
 
 
+@pytest.mark.slow
 def test_branin_beats_random_search():
     """Equal budget: BO's best value must beat pure random search by a
     clear margin (Branin global min = 0.3979)."""
@@ -112,12 +114,14 @@ def test_padded_gp_fit_is_exact():
         GpRegressor().fit(x, y, pad_to=10)
 
 
+@pytest.mark.slow
 def test_pi_acquisition_runs():
     res = bayes_opt_minimize(_quad, [[-1, 1], [-1, 1]], n_init=6,
                              n_iters=8, key=4, acquisition="pi")
     assert res.y_best < -0.8
 
 
+@pytest.mark.slow
 def test_gp_posterior_draws():
     """predict_cov diag == predict var; draws reproduce mean/cov; at the
     training inputs (tiny noise) draws pass ~through the data."""
@@ -143,6 +147,7 @@ def test_gp_posterior_draws():
     assert c[0, 1] > 0.5 or emp_sd[20] < 1e-3
 
 
+@pytest.mark.slow
 def test_variance_acquisition_active_learning():
     """acquisition='variance' = sequential surrogate design: after a few
     adaptive points the GP's max posterior sd over the box drops well

@@ -31,6 +31,7 @@ def test_gaussian_evidence_exact_case():
     assert res.log_evidence == pytest.approx(logz_true, abs=0.02)
 
 
+@pytest.mark.slow
 def test_matches_smc_from_hmc_draws():
     """End-to-end: HMC draws from a non-Gaussian posterior -> bridge
     evidence agrees with the SMC estimate of the same integral."""

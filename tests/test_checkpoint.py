@@ -151,6 +151,7 @@ def test_gp_checkpoint_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_copula_checkpoint_roundtrips(rng, tmp_path):
     from corrla_rs_tpu.ops.copula import BivariateCopula, GaussianCopula
     from corrla_rs_tpu.ops.vine import CVineCopula
@@ -213,6 +214,7 @@ def test_sparse_gp_legacy_checkpoint_without_y_scale(rng, tmp_path):
     assert sp2._y_scale == 1.0            # class default
 
 
+@pytest.mark.slow
 def test_sparse_gp_legacy_checkpoint_refit(rng, tmp_path):
     # legacy files also lack _init_spec; the class default must let a
     # refit run (review finding: AttributeError on fit after load)

@@ -50,6 +50,7 @@ def test_ill_conditioned_ellipsoid_beats_pso():
         pass  # PSO surface differs; the CMA assertion above stands
 
 
+@pytest.mark.slow
 def test_bounds_and_nonjax_objective():
     calls = []
 

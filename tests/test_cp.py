@@ -41,6 +41,7 @@ def test_cp_exact_recovery(rng):
     assert np.all(np.diff(w) <= 1e-12)
 
 
+@pytest.mark.slow
 def test_cp_fit_history_monotone(rng):
     t, _, _ = _planted(rng, shape=(12, 10, 8), r=2)
     t = t + 0.01 * rng.standard_normal(t.shape)
@@ -50,6 +51,7 @@ def test_cp_fit_history_monotone(rng):
     assert fits[-1] > 0.99
 
 
+@pytest.mark.slow
 def test_cp_four_way(rng):
     shape, r = (9, 8, 7, 6), 2
     f = [rng.standard_normal((s, r)) for s in shape]
@@ -67,6 +69,7 @@ def test_cp_validation(rng):
         cp_als(np.zeros((3, 3)), 0)
 
 
+@pytest.mark.slow
 def test_cp_degenerate_inputs(rng):
     # zero tensor: clean zero model, no NaN
     w, factors, fits = cp_als(np.zeros((4, 5, 6)), 2, n_sweeps=5)

@@ -33,6 +33,7 @@ def test_lhs_stratification():
         assert sorted(strata) == list(range(n))
 
 
+@pytest.mark.slow
 def test_lhs_maximin_improves_min_distance():
     def min_dist(x):
         x = np.asarray(x)

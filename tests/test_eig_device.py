@@ -89,6 +89,7 @@ def test_eigvals_match_numpy(rng):
         )
 
 
+@pytest.mark.slow
 def test_eigenvectors_satisfy_eigen_equation(rng):
     for name, a_np in _fixtures(rng).items():
         lr, li, vr, vi = eig_device(jnp.asarray(a_np))
@@ -216,6 +217,7 @@ def test_dmdc_eig_backend_validation():
         DMDc(jnp.ones((4, 5)), jnp.ones((1, 5)), 2, 2, eig_backend="nope")
 
 
+@pytest.mark.slow
 def test_dmdc_fit_ensemble_matches_single():
     from corrla_rs_tpu.models.dmd import (
         DMDc, dmdc_fit_ensemble, rollout_ensemble,

@@ -78,6 +78,7 @@ def test_gp_log_marginal_likelihood_sane(rng):
     assert gp_good.log_marginal_likelihood() > gp_bad.log_marginal_likelihood()
 
 
+@pytest.mark.slow
 def test_bivariate_copula_all_families(rng):
     from corrla_rs_tpu.ops.copula import BivariateCopula
     from corrla_rs_tpu.ops.vine import kendall_tau
@@ -99,6 +100,7 @@ def test_bivariate_copula_all_families(rng):
         )
 
 
+@pytest.mark.slow
 def test_bivariate_copula_auto_selects_gaussian(rng):
     from corrla_rs_tpu.ops.copula import BivariateCopula
 

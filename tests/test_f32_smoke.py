@@ -10,6 +10,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -157,6 +159,7 @@ print(json.dumps(out))
 """
 
 
+@pytest.mark.slow
 def test_f32_wave3_end_to_end():
     res = subprocess.run(
         [sys.executable, "-c", SCRIPT_WAVE3], capture_output=True,

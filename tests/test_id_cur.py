@@ -56,6 +56,7 @@ def test_cur_skeleton_exact_on_lowrank(rng):
     assert np.linalg.norm(approx - a) / np.linalg.norm(a) < 1e-8
 
 
+@pytest.mark.slow
 def test_cur_stable_beats_skeleton_under_noise(rng):
     a, _ = _lowrank(rng, 80, 60, 8)
     noisy = a + 1e-3 * rng.standard_normal(a.shape)

@@ -56,6 +56,7 @@ def test_evidence_matches_smc_on_nongaussian():
     assert lap.log_evidence == pytest.approx(smc.log_evidence, abs=0.15)
 
 
+@pytest.mark.slow
 def test_multistart_finds_dominant_mode():
     """Two modes with very different heights: single start from the basin
     of the minor mode stays there; restarts recover the dominant one."""

@@ -53,6 +53,7 @@ def test_reweighted_mean_and_smoothing_improves():
     assert res.k_hat < 0.7
 
 
+@pytest.mark.slow
 def test_importance_resample():
     rng = np.random.default_rng(2)
     x = rng.normal(0.0, 2.0, (8000, 1))            # wide proposal

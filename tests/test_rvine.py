@@ -108,6 +108,7 @@ def _markov_chain_data(rng, n=1500):
     return np.stack([x0, x1, x2, x3], axis=1)
 
 
+@pytest.mark.slow
 def test_rvine_recovers_markov_chain_structure(rng):
     data = _markov_chain_data(rng)
     m = RVineCopula().fit(data)
@@ -136,6 +137,7 @@ def test_rvine_sampling_roundtrips_tau(rng):
         assert abs(td - ts) < 0.07, (i, j, td, ts)
 
 
+@pytest.mark.slow
 def test_rvine_matches_cvine_on_cvine_data(rng):
     # star dependence (all through variable 0) IS a C-vine; the R-vine
     # learner must find the star and match the C-vine's density
@@ -164,6 +166,7 @@ def test_rvine_matches_cvine_on_cvine_data(rng):
     assert np.all(np.isfinite(lr))
 
 
+@pytest.mark.slow
 def test_rvine_negative_dependence_lower_tail(rng):
     # VERDICT round-2 gap: negative/opposite-tail dependence used to fall
     # back to gaussian/frank; now the rotated family must win in-vine
@@ -183,6 +186,7 @@ def test_rvine_negative_dependence_lower_tail(rng):
     assert fam01.endswith(("90", "270"))
 
 
+@pytest.mark.slow
 def test_rvine_truncation(rng):
     data = _markov_chain_data(rng)
     m = RVineCopula(truncate_level=1).fit(data)
@@ -193,6 +197,7 @@ def test_rvine_truncation(rng):
     assert np.all(np.isfinite(s))
 
 
+@pytest.mark.slow
 def test_rvine_checkpoint_roundtrip(rng, tmp_path):
     from corrla_rs_tpu.utils.checkpoint import load_model, save_model
 

@@ -180,6 +180,7 @@ def test_streamed_multi_device_matches_single(rng):
         streamed_random_svd(a, 4, 4, 4, method="power", devices=devs)
 
 
+@pytest.mark.slow
 def test_streamed_rank_deficient_source(rng):
     # numerical rank below the sketch width (exactly rank-5 source in
     # f32): the m-space CholeskyQR's floored normalizer + ridge fallback

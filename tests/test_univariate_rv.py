@@ -34,6 +34,7 @@ def test_normal_mlfit():
     assert abs(rv.std - float(jnp.std(s))) < 1e-3
 
 
+@pytest.mark.slow
 def test_normal_mlfit_bfgs_and_sd():
     s = NormalRv(-3.0, 2.0).sample(20000, key=2)
     rv2 = NormalRv(1.0, 1.0).mlfit(s, method=2)
@@ -99,6 +100,7 @@ def test_exponential():
     assert abs(fit.lam - 2.0) < 5e-2
 
 
+@pytest.mark.slow
 def test_kde():
     # Parity with test_kde_rv (univariate_rv.rs:573-605).
     rv_known = NormalRv(5.25, 10.0)

@@ -1,6 +1,7 @@
 """C-vine copula tests (reference roadmap item readme.md:49-54)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from corrla_rs_tpu.ops.vine import (
     FAMILIES,
@@ -18,6 +19,7 @@ PARAMS = {"gaussian": 0.6, "clayton": 2.0, "gumbel": 2.0, "frank": 4.0,
           "t3": 0.6, "t5": 0.6, "t8": 0.6, "t15": 0.6}
 
 
+@pytest.mark.slow
 def test_hinv_roundtrip_all_families(rng):
     from corrla_rs_tpu.ops.vine import _split_rotation
 
@@ -74,6 +76,7 @@ def test_vine_recovers_clayton_pair(rng):
     assert abs(tau_s - 0.5) < 0.07
 
 
+@pytest.mark.slow
 def test_vine_3d_gaussian_dependence(rng):
     cov = np.array([[1.0, 0.7, 0.3], [0.7, 1.0, 0.5], [0.3, 0.5, 1.0]])
     x = rng.multivariate_normal([0.0, 1.0, -2.0], cov, size=1500)
@@ -121,6 +124,7 @@ def test_t_ppf_cdf_match_scipy():
                                    np.asarray(u), rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_t_ppf_gradient_is_implicit_derivative():
     # custom JVP: d ppf/du = 1 / pdf(ppf(u)) — check against central diff
     import jax
@@ -135,6 +139,7 @@ def test_t_ppf_gradient_is_implicit_derivative():
         assert abs(float(g(jnp.asarray(u0))) - fd) < 1e-4 * max(abs(fd), 1.0)
 
 
+@pytest.mark.slow
 def test_vine_recovers_t_pair(rng):
     # bivariate t_3 has symmetric tail dependence in BOTH tails — gaussian
     # (zero tail dependence) and the one-tail archimedeans should lose the
@@ -199,6 +204,7 @@ def test_mle_refine_recovers_clayton_theta(rng):
     assert abs(float(th_hat) - th_true) < 0.25
 
 
+@pytest.mark.slow
 def test_refine_through_public_surfaces(rng):
     from corrla_rs_tpu.ops.copula import BivariateCopula
 
