@@ -865,6 +865,59 @@ def s_gmm():
     return float(np.max(np.abs(got - np.sort(mus, axis=0)))), 0.3
 
 
+@stage("bridge-sampling evidence")
+def s_bridge():
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.bridge import bridge_sampling_evidence
+
+    # 2-d Gaussian pseudo-posterior with known normalizer:
+    # ln q = -|x|^2 / (2 s^2)  =>  log Z = (d/2) log(2 pi s^2)
+    s, d = 0.7, 2
+    draws = jnp.asarray(RNG.standard_normal((4000, d)) * s, jnp.float32)
+
+    def ln_post(x):
+        return -0.5 * jnp.sum(x * x) / s**2
+
+    br = bridge_sampling_evidence(ln_post, draws, key=3)
+    logz_true = 0.5 * d * np.log(2.0 * np.pi * s**2)
+    err = abs(float(br.log_evidence) - logz_true)
+    if not br.converged:
+        err += 1.0
+    return float(err), 0.1
+
+
+@stage("psis regimes (device log-weights)")
+def s_psis():
+    import jax
+    import jax.numpy as jnp
+
+    from corrla_rs_tpu.ops.psis import psis
+
+    # importance weights computed ON DEVICE: N(0, 1) proposal draws
+    # reweighted to N(0, s^2) targets. s < 1 (light tail, bounded
+    # weights): k-hat must read safe; s > 1 (w has infinite variance
+    # for s^2 > 2... use s = 2: tail index 1 - 1/s^2 scaled): must be
+    # flagged. Regime separation is the assertion.
+    x = jnp.asarray(RNG.standard_normal(4000), jnp.float32)
+
+    def lw_for(s):
+        return np.asarray(
+            jax.vmap(lambda v: -0.5 * v * v / s**2 + 0.5 * v * v)(x),
+            np.float64)
+
+    r_light = psis(lw_for(0.8))
+    r_heavy = psis(lw_for(2.5))
+    err = 0.0
+    if not r_light.k_hat < 0.5:
+        err += 1.0
+    if not r_heavy.k_hat > 0.6:
+        err += 1.0
+    w = np.exp(np.asarray(r_light.log_weights))
+    err += abs(float(w.sum()) - 1.0)
+    return float(err), 1e-6
+
+
 def main():
     _require_tpu()
     import jax
