@@ -54,10 +54,14 @@ T_GRID = DT * np.arange(NT)
 U_CTRL = np.exp(0.25 * T_GRID)                    # known forcing signal
 SENSOR_IDX = np.linspace(0, NX - 1, N_SENSORS).astype(int)
 
-_xg = jnp.asarray(X_GRID, jnp.float32)
-_tg = jnp.asarray(T_GRID, jnp.float32)
-_uc = jnp.asarray(U_CTRL, jnp.float32)
-_xs = jnp.asarray(X_GRID[SENSOR_IDX], jnp.float32)
+# numpy on purpose: module-scope jnp constants are EAGER device
+# dispatches, and a stray eager op on this tunneled runtime can futex-
+# stall for minutes (BASELINE.md r3). As numpy they fold into each
+# jitted executable as compile-time constants instead.
+_xg = X_GRID.astype(np.float32)
+_tg = T_GRID.astype(np.float32)
+_uc = U_CTRL.astype(np.float32)
+_xs = X_GRID[SENSOR_IDX].astype(np.float32)
 
 
 def field(theta, x):
@@ -104,7 +108,10 @@ log_z_smc = None
 @stage("1 snapshot data (on device)")
 def s1_data():
     global snapshots, y_obs
-    snapshots = field(jnp.asarray(THETA_TRUE, jnp.float32), _xg)
+    # ONE jitted executable + one dispatch (an eager op chain here can
+    # stall for minutes on the tunneled runtime)
+    snapshots = jax.jit(lambda th: field(th, _xg))(
+        jnp.asarray(THETA_TRUE, jnp.float32))
     snapshots.block_until_ready()
     y_clean = np.asarray(snapshots)[SENSOR_IDX]
     y_obs = jnp.asarray(
@@ -133,7 +140,9 @@ def s3_dmdc():
     from corrla_rs_tpu.models.dmd import DMDc
 
     u_row = jnp.asarray(U_CTRL[None, :], jnp.float32)
-    model = DMDc(snapshots, u_row, n_modes=6, n_iters=20, key=1)
+    # n_modes = the field's exact rank (2 wave + 1 forced): extra modes
+    # would fit f32 rounding noise and destabilize the 159-step rollout
+    model = DMDc(snapshots, u_row, n_modes=3, n_iters=20, key=1)
     x0 = snapshots[:, :1]
     pred = model.predict_multiple(x0, u_row[:, :-1])      # (NX, NT-1)
     truth = np.asarray(snapshots)[:, 1:]
@@ -244,8 +253,7 @@ def s8_bridge_psis():
     # it, weight to the posterior, check the tail index
     n_val = 4096
     d = 3
-    z = np.asarray(
-        jax.random.normal(jax.random.key(11), (n_val, d)))
+    z = np.random.default_rng(11).standard_normal((n_val, d))
     mu = np.asarray(br.proposal_mean)
     chol = np.asarray(br.proposal_chol)
     xs = jnp.asarray(mu + z @ chol.T, jnp.float32)
@@ -269,7 +277,7 @@ def s9_shapley():
 
     cov = np.diag(PRIOR_STD**2)
     shares = np.asarray(shapley_effects(
-        qoi_batch, PRIOR_MEAN, cov, n_outer=128, n_inner=64, key=13))
+        qoi_batch, PRIOR_MEAN, cov, n_outer=512, n_inner=128, key=13))
     # cross-check against pick-freeze Sobol' indices of the SAME QoI:
     # the prior is independent Gaussian, so mapping a uniform box
     # through the normal PPF preserves the variance decomposition and
@@ -283,7 +291,7 @@ def s9_shapley():
         return qoi_batch(pm + ps * norm.ppf(us))
 
     sob = sobol_indices(f_u, np.array([[1e-3, 1.0 - 1e-3]] * 3),
-                        n_base=4096, key=17)
+                        n_base=8192, key=17)
     s1 = np.asarray(sob["s1"])
     st = np.asarray(sob["st"])
     slack = 0.05

@@ -30,6 +30,8 @@ def test_recovers_planted_nonneg_lowrank(rng):
     assert np.all(np.diff(e) <= 1e-10)
 
 
+@pytest.mark.filterwarnings(
+    "ignore::sklearn.exceptions.ConvergenceWarning")
 def test_parity_with_sklearn(rng):
     from sklearn.decomposition import NMF as SkNMF
 
