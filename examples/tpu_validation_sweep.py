@@ -166,7 +166,7 @@ def s_era_okid():
     ak = np.eye(2)
     akh = np.eye(a_h.shape[0])
     for _ in range(12):
-        errs.append(abs(float(c_h @ akh @ b_h) - float(c @ ak @ b)))
+        errs.append(abs(float((c_h @ akh @ b_h).item()) - float((c @ ak @ b).item())))
         ak = a @ ak
         akh = a_h @ akh
     return float(np.max(errs)), 5e-2
@@ -832,8 +832,14 @@ def s_ukf():
         m = m + k @ (y - c_obs @ m)
         p_cov = p_cov - k @ c_obs @ p_cov
         means_ref.append(m.copy())
+    import jax.lax
+
     a_j = jnp.asarray(a, jnp.float32)
     c_j = jnp.asarray(c_obs, jnp.float32)
+    # user-supplied dynamics with a tiny contraction dim (n=2) MUST pin
+    # HIGHEST precision on TPU — the default matmul path downgrades tiny
+    # contractions (round-3 DMDc cliff; measured 9.1e-3 vs 3.1e-7 here)
+    hi = jax.lax.Precision.HIGHEST
     from corrla_rs_tpu.utils.smallpath import (
         set_small_path_threshold, small_path_threshold,
     )
@@ -843,7 +849,8 @@ def s_ukf():
         out = ukf_filter(jnp.zeros(2, jnp.float32),
                          jnp.eye(2, dtype=jnp.float32),
                          jnp.asarray(ys, jnp.float32),
-                         lambda v: a_j @ v, lambda v: c_j @ v,
+                         lambda v: jnp.matmul(a_j, v, precision=hi),
+                         lambda v: jnp.matmul(c_j, v, precision=hi),
                          jnp.asarray(q, jnp.float32),
                          jnp.asarray(r, jnp.float32))
     finally:
@@ -922,12 +929,21 @@ def main():
     _require_tpu()
     import jax
 
+    # optional argv substrings select a subset of stages (re-runs after
+    # a fix without paying for the whole sweep)
+    sel = [s.lower() for s in sys.argv[1:]]
+    stages = [fn for fn in RESULTS
+              if not sel or any(s in fn._stage_name.lower() for s in sel)]
+    if sel and not stages:
+        print(f"no stage matches {sel}", file=sys.stderr)
+        raise SystemExit(2)
+
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
     print()
     print("| family | wall (s) | error | tol | status |")
     print("|---|---|---|---|---|")
     n_fail = 0
-    for fn in RESULTS:
+    for fn in stages:
         name = fn._stage_name
         t0 = time.perf_counter()
         try:
@@ -945,7 +961,7 @@ def main():
             print(f"| {name} | {wall:.2f} | exception: "
                   f"{type(exc).__name__}: {exc} | — | FAIL |", flush=True)
             traceback.print_exc(file=sys.stderr)
-    print(f"\n{len(RESULTS) - n_fail}/{len(RESULTS)} families PASS")
+    print(f"\n{len(stages) - n_fail}/{len(stages)} families PASS")
     raise SystemExit(1 if n_fail else 0)
 
 
