@@ -133,6 +133,7 @@ from corrla_rs_tpu.ops.psis import importance_resample, psis
 from corrla_rs_tpu.ops.shapley import (
     shapley_effects,
     shapley_effects_linear,
+    shapley_effects_quadrature,
 )
 from corrla_rs_tpu.ops.quadrature import (
     clenshaw_curtis,
@@ -253,6 +254,7 @@ __all__ = [
     "psis",
     "importance_resample",
     "shapley_effects_linear",
+    "shapley_effects_quadrature",
     "laplace_approx",
     "laplace_sample",
     "cg_solve",
