@@ -151,6 +151,7 @@ def test_sparse_gp_matches_exact_when_inducing_all(rng):
     assert sp.elbo() <= gp.log_marginal_likelihood() + 0.01
 
 
+@pytest.mark.slow
 def test_sparse_gp_large_n(rng):
     from corrla_rs_tpu.ops.gp import SparseGpRegressor
 

@@ -131,6 +131,7 @@ class TestDensityAndSampling:
         np.testing.assert_allclose(draws.mean(0), mean_th, atol=0.05)
         np.testing.assert_allclose(np.cov(draws.T), cov_th, atol=0.15)
 
+    @pytest.mark.slow
     def test_is_proposal_roundtrip(self):
         # the intended use: a GMM fitted to posterior draws is a valid
         # importance proposal — self-normalized IS with it recovers a

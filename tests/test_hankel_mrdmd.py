@@ -101,6 +101,7 @@ def _transient_field(rng, n_x=40, n_t=256):
     return slow + 0.8 * burst, slow, 0.8 * burst
 
 
+@pytest.mark.slow
 def test_mrdmd_separates_scales(rng):
     x, slow, burst = _transient_field(rng)
     # burst freq 2*pi/16 needs windows of ~32 steps to count as "slow"

@@ -38,6 +38,7 @@ def test_dual_averaging_hits_target():
     assert res.accept_ratio == pytest.approx(0.8, abs=0.12)
 
 
+@pytest.mark.slow
 def test_mass_adaptation_helps_anisotropy():
     """sigma spread 1e2: with diagonal-mass adaptation the effective
     step per dimension equalizes and sampling stays efficient."""

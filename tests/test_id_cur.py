@@ -74,6 +74,7 @@ def test_cur_stable_beats_skeleton_under_noise(rng):
     assert e_stable <= e_skel + 1e-12
 
 
+@pytest.mark.slow
 def test_wide_and_tall_and_f32(rng):
     a, _ = _lowrank(rng, 30, 100, 4)   # wide
     cols, x = column_id(a.astype(np.float32), 4, key=5)

@@ -32,6 +32,7 @@ def test_gaussian_exact():
     assert res.converged
 
 
+@pytest.mark.slow
 def test_evidence_matches_smc_on_nongaussian():
     """Mildly non-Gaussian posterior: Laplace evidence within ~0.1 nat of
     the SMC estimate (both approximate the same integral)."""

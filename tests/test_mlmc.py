@@ -28,6 +28,7 @@ def _truth():
     return 1.0
 
 
+@pytest.mark.slow
 def test_unbiased_and_se_calibrated():
     ests, ses = [], []
     for s in range(40):

@@ -41,6 +41,7 @@ def test_linear_function_exact_effects():
     np.testing.assert_allclose(np.asarray(out["sigma"]), 0.0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_ishigami_screening_ranks_inputs():
     bounds = np.array([[-np.pi, np.pi]] * 3)
 

@@ -42,6 +42,7 @@ def test_design_closed_form():
     assert d.variance < d.mc_variance
 
 
+@pytest.mark.slow
 def test_unbiased_and_variance_reduction():
     """Replicate the estimator over seeds: mean ~ E[f1] = 1 and the
     empirical replicate variance tracks the design prediction."""

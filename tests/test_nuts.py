@@ -24,6 +24,7 @@ def test_gaussian_recovery():
     assert 1.0 <= res.mean_tree_depth <= 8.0
 
 
+@pytest.mark.slow
 def test_correlated_target_and_no_tuning():
     """rho=0.97 correlated Gaussian with NO tuning inputs at all — the
     point of NUTS."""
@@ -41,6 +42,7 @@ def test_correlated_target_and_no_tuning():
     np.testing.assert_allclose(emp, np.asarray(cov), atol=0.12)
 
 
+@pytest.mark.slow
 def test_tree_depth_scales_with_anisotropy():
     """At a FIXED step size (warmup off — dual averaging would simply
     rescale eps to the target), a wider target needs longer trajectories
@@ -77,6 +79,7 @@ def test_funnel_divergences_detected():
     assert res.n_divergent > 0
 
 
+@pytest.mark.slow
 def test_matches_hmc_on_easy_target():
     from corrla_rs_tpu.ops.hmc import hmc_run
 

@@ -107,11 +107,11 @@ def test_sharded_demc_gaussian():
     lnp = ln_like_sum(lnp_like, ln_prior_uniform(np.array([[-20.0, 20.0]])))
     heads0 = jnp.zeros((16, 1))  # 2 chains per device
     hist, final_heads, ar = demc_run_sharded(
-        heads0, lnp, 4000, gamma=0.8, var_epsilon=1e-10, key=0, mesh=mesh
+        heads0, lnp, 1600, gamma=0.8, var_epsilon=1e-10, key=0, mesh=mesh
     )
-    assert hist.shape == (4000, 16, 1)
+    assert hist.shape == (1600, 16, 1)
     assert final_heads.shape == (16, 1)
-    tail = np.asarray(hist[-1500:]).reshape(-1)
+    tail = np.asarray(hist[-800:]).reshape(-1)
     assert abs(tail.mean() - mu) < 5e-1
     assert abs(tail.std(ddof=1) - std) < 5e-1
     assert ar > 0.2
@@ -165,7 +165,7 @@ def test_sharded_active_subspace_matches_single(rng):
     )
 
     mesh = make_mesh(8)
-    n, k = 320, 3
+    n, k = 160, 3
     x = rng.uniform(-1.0, 1.0, (n, k))
     y = 0.1 * x[:, 0] + 5.0 * x[:, 1] + 0.3 * x[:, 2] + 2.0 * x[:, 1] ** 2
     ge = PolyGradientEstimator(jnp.asarray(x), jnp.asarray(y), 2, 16)
@@ -194,7 +194,7 @@ def test_sharded_active_subspace_matches_single(rng):
         np.diagonal(np.asarray(s1.singular_vals_)), rtol=1e-6,
     )
     with pytest.raises(ValueError, match="divide the mesh"):
-        est.fit(jnp.asarray(x[:300]), mesh=mesh)
+        est.fit(jnp.asarray(x[:156]), mesh=mesh)
 
 
 def test_sharded_dream_gaussian():
@@ -211,10 +211,10 @@ def test_sharded_dream_gaussian():
 
     heads0 = jnp.linspace(-1, 1, 16)[:, None]  # 16 chains, 2 per device
     hist, final_heads, ar = dream_run_sharded(
-        heads0, lnp, 4000, key=0, n_adapt=500, mesh=mesh
+        heads0, lnp, 1600, key=0, n_adapt=300, mesh=mesh
     )
-    assert hist.shape == (4000, 16, 1)
-    tail = np.asarray(hist[-1500:]).reshape(-1)
+    assert hist.shape == (1600, 16, 1)
+    tail = np.asarray(hist[-800:]).reshape(-1)
     assert abs(tail.mean() - mu) < 5e-1
     assert abs(tail.std(ddof=1) - std) < 5e-1
     assert ar > 0.15
@@ -351,14 +351,14 @@ def test_sharded_sparse_gp_matches_single(rng):
     from corrla_rs_tpu.ops.gp import SparseGpRegressor
 
     mesh = make_mesh(8)
-    n = 2048
+    n = 512
     x = np.sort(rng.uniform(0, 6, n))[:, None]
     y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
-    sp1 = SparseGpRegressor("rbf", inducing=48, key=3).fit(
+    sp1 = SparseGpRegressor("rbf", inducing=24, key=3).fit(
         jnp.asarray(x), jnp.asarray(y)
     )
     y_sh = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P("rows")))
-    sp2 = SparseGpRegressor("rbf", inducing=48, key=3).fit(
+    sp2 = SparseGpRegressor("rbf", inducing=24, key=3).fit(
         shard_rows(jnp.asarray(x), mesh), y_sh
     )
     xq = jnp.asarray(np.linspace(0.3, 5.7, 21)[:, None])
@@ -387,13 +387,13 @@ def test_member_sharded_ensemble_dmdc(rng):
         rng.standard_normal((B,) + base.shape)
     )
     u_b = jnp.broadcast_to(u, (B,) + u.shape)
-    fit1 = dmdc_fit_ensemble(batch, u_b, n_modes=6, n_iters=40, key=4)
+    fit1 = dmdc_fit_ensemble(batch, u_b, n_modes=6, n_iters=15, key=4)
 
     mesh = make_mesh(8)
     sh = NamedSharding(mesh, P("rows"))
     fit2 = dmdc_fit_ensemble(
         jax.device_put(batch, sh), jax.device_put(jnp.asarray(u_b), sh),
-        n_modes=6, n_iters=40, key=4,
+        n_modes=6, n_iters=15, key=4,
     )
     np.testing.assert_allclose(
         np.asarray(fit2["lambdas_re"]), np.asarray(fit1["lambdas_re"]),
@@ -455,10 +455,11 @@ def test_sharded_hosvd_mode0_rank_validated(rng):
                       mesh=mesh)
 
 
-def test_sharded_stretch_gaussian_and_invariance():
-    """Walker-sharded stretch sampler: recovers a Gaussian on the
-    8-device mesh AND keeps the bit-exact power-of-two affine
-    equivariance (same collectives, scaled state)."""
+@pytest.mark.slow
+def test_sharded_stretch_gaussian():
+    """Walker-sharded stretch sampler recovers a Gaussian on the
+    8-device mesh (statistical; the exact-contract check stays in the
+    default lane below)."""
     from corrla_rs_tpu.parallel.sharded_samplers import stretch_run_sharded
 
     _require_8()
@@ -479,6 +480,16 @@ def test_sharded_stretch_gaussian_and_invariance():
     np.testing.assert_allclose(tail.std(0), np.asarray(sig), atol=0.12)
     assert 0.2 < ar < 0.9
 
+
+def test_sharded_stretch_invariance():
+    """The sharded stretch sampler's bit-exact power-of-two affine
+    equivariance (same collectives, scaled state) — the cheap exact
+    contract kept in the default lane."""
+    from corrla_rs_tpu.parallel.sharded_samplers import stretch_run_sharded
+
+    _require_8()
+    mesh = make_mesh(8, axis_name=CHAINS_AXIS)
+    w0 = jax.random.normal(jax.random.key(0), (32, 2), jnp.float64)
     # bit-exact diagonal affine equivariance survives the sharded path
     scale = jnp.array([4.0, 0.5])
     inv = jnp.array([0.25, 2.0])
@@ -514,12 +525,12 @@ def test_sharded_hmc_matches_single():
         return -0.5 * jnp.sum((x / sig) ** 2)
 
     x0 = jax.random.normal(jax.random.key(3), (16, 2), jnp.float64)
-    r1 = hmc_run(x0, lnp, n_steps=400, n_warmup=200, key=4)
-    r2 = hmc_run(x0, lnp, n_steps=400, n_warmup=200, key=4, mesh=mesh)
+    r1 = hmc_run(x0, lnp, n_steps=200, n_warmup=100, key=4)
+    r2 = hmc_run(x0, lnp, n_steps=200, n_warmup=100, key=4, mesh=mesh)
     assert r2.step_size == pytest.approx(r1.step_size, rel=0.15)
-    t1 = np.asarray(r1.history[100:]).reshape(-1, 2)
-    t2 = np.asarray(r2.history[100:]).reshape(-1, 2)
-    np.testing.assert_allclose(t2.std(0), np.asarray(sig), rtol=0.15)
+    t1 = np.asarray(r1.history[50:]).reshape(-1, 2)
+    t2 = np.asarray(r2.history[50:]).reshape(-1, 2)
+    np.testing.assert_allclose(t2.std(0), np.asarray(sig), rtol=0.25)
     np.testing.assert_allclose(t2.std(0), t1.std(0), rtol=0.15)
     with pytest.raises(ValueError, match="divide"):
         hmc_run(jnp.zeros((6, 2)), lnp, 5, mesh=mesh)
@@ -657,13 +668,13 @@ def test_sharded_nuts_matches_single():
         return -0.5 * jnp.sum((x / sig) ** 2)
 
     x0 = jax.random.normal(jax.random.key(3), (16, 2), jnp.float64)
-    r1 = nuts_run(x0, lnp, n_steps=300, n_warmup=200, key=4)
-    r2 = nuts_run(x0, lnp, n_steps=300, n_warmup=200, key=4, mesh=mesh)
+    r1 = nuts_run(x0, lnp, n_steps=150, n_warmup=100, key=4)
+    r2 = nuts_run(x0, lnp, n_steps=150, n_warmup=100, key=4, mesh=mesh)
     assert r2.step_size == pytest.approx(r1.step_size, rel=0.15)
-    t1 = np.asarray(r1.history[50:]).reshape(-1, 2)
-    t2 = np.asarray(r2.history[50:]).reshape(-1, 2)
-    np.testing.assert_allclose(t2.std(0), np.asarray(sig), rtol=0.15)
-    np.testing.assert_allclose(t2.std(0), t1.std(0), rtol=0.15)
+    t1 = np.asarray(r1.history[25:]).reshape(-1, 2)
+    t2 = np.asarray(r2.history[25:]).reshape(-1, 2)
+    np.testing.assert_allclose(t2.std(0), np.asarray(sig), rtol=0.25)
+    np.testing.assert_allclose(t2.std(0), t1.std(0), rtol=0.2)
     with pytest.raises(ValueError, match="divide"):
         nuts_run(jnp.zeros((6, 2)), lnp, 5, mesh=mesh)
 

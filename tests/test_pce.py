@@ -52,6 +52,7 @@ def test_exact_polynomial_recovery_uniform(rng):
     np.testing.assert_allclose(pce.var, vals.var(), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_ishigami_sobol_via_pce():
     bounds = np.array([[-np.pi, np.pi]] * 3)
 
@@ -150,6 +151,7 @@ def test_integer_y_and_dim_validation(rng):
         total_degree_multi_indices(0, 3)
 
 
+@pytest.mark.slow
 def test_sparse_recovers_20d_model(rng):
     # VERDICT r2 item 8: a sparse 20-d model from n << full-basis
     # cardinality (C(22, 2) = 231 dense coefficients, n = 120 samples)
@@ -185,6 +187,7 @@ def test_sparse_recovers_20d_model(rng):
     np.testing.assert_allclose(st[inactive], 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sparse_degree_adaptive(rng):
     # cubic term in 5-d: the adaptive outer loop must grow past q=2
     d, n = 5, 90
@@ -218,6 +221,7 @@ def test_sparse_max_order_cap(rng):
     assert np.isfinite(pce.loo_error)
 
 
+@pytest.mark.slow
 def test_sparse_gaussian_and_noise(rng):
     # noisy gaussian-input model: selection must stay parsimonious (LOO
     # guards against fitting the noise) and recover the signal terms
@@ -263,6 +267,7 @@ def test_apc_data_driven_basis_orthonormal(rng):
     np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=0.45)
 
 
+@pytest.mark.slow
 def test_apc_fits_lognormal_inputs_and_moments(rng):
     from corrla_rs_tpu.ops.pce import PolynomialChaos
 
@@ -280,6 +285,7 @@ def test_apc_fits_lognormal_inputs_and_moments(rng):
     assert float(s["st"][0]) > float(s["s1"][0])
 
 
+@pytest.mark.slow
 def test_apc_degree_guard_and_sparse(rng):
     from corrla_rs_tpu.ops.pce import PolynomialChaos
 
@@ -328,6 +334,7 @@ def test_fit_quadrature_uniform_exact_polynomial():
         np.asarray(jnp.asarray([model(q) for q in xq])), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fit_quadrature_gaussian_matches_regression():
     """Gaussian inputs: projection and regression agree on a smooth
     model; projection needs mean/std up front."""

@@ -9,9 +9,17 @@ from corrla_rs_tpu.ops.vine import FAMILIES, kendall_tau
 
 
 ROTATED = [f for f in FAMILIES if f[-1].isdigit()]
+# The Student-t members pay an iterative (Newton) h-inverse per point —
+# they dominate this module's wall, so they run in the slow lane; the
+# archimedean rotations keep the default-lane coverage of the rotation
+# machinery (test_vine keeps a default-lane t-density rep).
+ROTATED_TIERED = [
+    pytest.param(f, marks=pytest.mark.slow) if f.startswith("t") else f
+    for f in ROTATED
+]
 
 
-@pytest.mark.parametrize("fam", ROTATED)
+@pytest.mark.parametrize("fam", ROTATED_TIERED)
 def test_rotated_h_roundtrip_and_pdf(rng, fam):
     _base, rot = v._split_rotation(fam)
     tau = -0.5 if rot in (90, 270) else 0.5
@@ -34,7 +42,7 @@ def test_rotated_h_roundtrip_and_pdf(rng, fam):
     )
 
 
-@pytest.mark.parametrize("fam", ROTATED)
+@pytest.mark.parametrize("fam", ROTATED_TIERED)
 def test_rotated_tau_sign(rng, fam):
     _base, rot = v._split_rotation(fam)
     tau = -0.45 if rot in (90, 270) else 0.45
@@ -67,7 +75,7 @@ def test_swap_family_is_argument_exchange(rng):
 def test_fit_pair_selects_rotation_on_negative_tail_data(rng):
     # lower-upper tail dependent, negative tau: clayton90 data
     th = v._theta_from_tau("clayton90", -0.5)
-    ww = rng.uniform(1e-6, 1 - 1e-6, (3000, 2))
+    ww = rng.uniform(1e-6, 1 - 1e-6, (1500, 2))
     us = np.asarray(
         v._HINV["clayton90"](jnp.asarray(ww[:, 1]), jnp.asarray(ww[:, 0]),
                              th)
@@ -83,7 +91,7 @@ def test_bivariate_copula_rotated_families(rng):
     from corrla_rs_tpu.ops.copula import BivariateCopula
 
     th = v._theta_from_tau("gumbel90", -0.5)
-    ww = rng.uniform(1e-6, 1 - 1e-6, (3000, 2))
+    ww = rng.uniform(1e-6, 1 - 1e-6, (1500, 2))
     u0 = np.asarray(
         v._HINV["gumbel90"](jnp.asarray(ww[:, 1]), jnp.asarray(ww[:, 0]),
                             th)
@@ -91,9 +99,9 @@ def test_bivariate_copula_rotated_families(rng):
     x = np.stack([u0, ww[:, 0]], axis=1)
     m = BivariateCopula("gumbel90").fit(x)
     assert m.tau < -0.4
-    s = np.asarray(m.sample(3000, key=2))
-    tau_s = float(kendall_tau(s[:2000, 0], s[:2000, 1]))
-    assert abs(tau_s - m.tau) < 0.07
+    s = np.asarray(m.sample(1500, key=2))
+    tau_s = float(kendall_tau(s[:1500, 0], s[:1500, 1]))
+    assert abs(tau_s - m.tau) < 0.09
     # base gumbel on negative-tau data raises with a rotation hint
     with pytest.raises(ValueError, match="90/270"):
         BivariateCopula("gumbel").fit(x)
@@ -129,12 +137,12 @@ def test_rvine_recovers_markov_chain_structure(rng):
 def test_rvine_sampling_roundtrips_tau(rng):
     data = _markov_chain_data(rng)
     m = RVineCopula().fit(data)
-    s = np.asarray(m.sample(3000, key=1))
-    assert s.shape == (3000, 4)
+    s = np.asarray(m.sample(1500, key=1))
+    assert s.shape == (1500, 4)
     for (i, j) in [(0, 1), (1, 2), (2, 3), (0, 3)]:
-        td = float(kendall_tau(data[:2000, i], data[:2000, j]))
-        ts = float(kendall_tau(s[:2000, i], s[:2000, j]))
-        assert abs(td - ts) < 0.07, (i, j, td, ts)
+        td = float(kendall_tau(data[:1500, i], data[:1500, j]))
+        ts = float(kendall_tau(s[:1500, i], s[:1500, j]))
+        assert abs(td - ts) < 0.09, (i, j, td, ts)
 
 
 @pytest.mark.slow

@@ -149,6 +149,7 @@ def test_cs_dirichlet_sample_surface():
     assert samples.shape == (6, 3)
 
 
+@pytest.mark.slow
 def test_pick_others_batched_distinct_and_uniform():
     import jax
 

@@ -89,6 +89,7 @@ def test_validation():
         slq_logdet(jnp.ones((3, 4)))
 
 
+@pytest.mark.slow
 def test_lanczos_fn_apply_matrix_functions():
     """f(A) b vs dense eigendecomposition oracles: exp, inverse, sqrt."""
     from scipy.linalg import expm, sqrtm
@@ -119,6 +120,7 @@ def test_lanczos_fn_apply_matrix_functions():
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_nystrom_pcg_accelerates():
     """Frangella-Tropp-Udell: Nystrom PCG on a regularized fast-decay
     kernel system converges in far fewer iterations than plain CG."""

@@ -55,6 +55,7 @@ def test_linear_function_exact_decomposition():
     np.testing.assert_allclose(float(out["var"]), 5.0 / 12.0, rtol=0.02)
 
 
+@pytest.mark.slow
 def test_bootstrap_bands_cover_point_estimates():
     out = sobol_indices(
         _ishigami, ISHI_BOUNDS, 4096, key=2, plan="sobol", n_boot=128

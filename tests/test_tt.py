@@ -78,6 +78,7 @@ def test_dot_and_norm(rng):
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_large_unfolding_uses_rsvd(rng):
     # first unfolding is 64 x 16384 (> _RSVD_MIN_ELEMS): randomized path
     dims, ranks = (64, 64, 256), (3, 3)

@@ -28,7 +28,7 @@ def test_normal_mlfit():
     # Parity with test_normal_rv (univariate_rv.rs:506-523): fit N(5.25, 10)
     # samples, recover sample stats at 1e-3.
     rv_true = NormalRv(5.25, 10.0)
-    s = rv_true.sample(10000, key=0)
+    s = rv_true.sample(4000, key=0)
     rv = NormalRv(1.0, 1.0).mlfit(s, method=1, key=1)
     assert abs(rv.mu - float(jnp.mean(s))) < 1e-3
     assert abs(rv.std - float(jnp.std(s))) < 1e-3
@@ -43,14 +43,17 @@ def test_normal_mlfit_bfgs_and_sd():
     assert abs(rv0.mu - float(jnp.mean(s))) < 0.2
 
 
+# The reference's 7-case matrix (univariate_rv.rs:526-561). Two
+# representative cases (interior + u-shaped-ish) run in the default lane;
+# the full matrix runs with -m slow.
 BETA_MATRIX = [
-    (1.0, 1.0, 0.0, 1.0),
+    pytest.param(1.0, 1.0, 0.0, 1.0, marks=pytest.mark.slow),
     (2.0, 2.0, 0.0, 100.0),
     (0.25, 0.75, 2.0, 7.0),
-    (1.25, 2.75, 0.2, 0.3),
-    (0.25, 2.75, 0.0, 1.0),
-    (2.75, 0.25, 0.0, 1.0),
-    (0.25, 0.25, 0.0, 1.0),
+    pytest.param(1.25, 2.75, 0.2, 0.3, marks=pytest.mark.slow),
+    pytest.param(0.25, 2.75, 0.0, 1.0, marks=pytest.mark.slow),
+    pytest.param(2.75, 0.25, 0.0, 1.0, marks=pytest.mark.slow),
+    pytest.param(0.25, 0.25, 0.0, 1.0, marks=pytest.mark.slow),
 ]
 
 
@@ -95,7 +98,7 @@ def test_exponential():
     np.testing.assert_allclose(
         np.asarray(rv.pdf(x)), sps.expon(scale=0.5).pdf(x), rtol=1e-10
     )
-    s = rv.sample(40000, key=6)
+    s = rv.sample(10000, key=6)
     fit = ExponentialRv(1.0).mlfit(s, method=2)
     assert abs(fit.lam - 2.0) < 5e-2
 
@@ -121,7 +124,7 @@ def test_kde():
 
 def test_build_kde():
     support_s = NormalRv(5.25, 10.0).sample(400, key=10)
-    auto = build_kde(1.0, support_s, n_iter=4, method=2, key=11)
-    ks = auto.sample(50000, key=12)
+    auto = build_kde(1.0, support_s, n_iter=2, method=2, key=11)
+    ks = auto.sample(20000, key=12)
     assert abs(float(jnp.mean(ks)) - float(jnp.mean(support_s))) < 9e-1
     assert abs(float(jnp.std(ks)) - float(jnp.std(support_s))) < 3.0

@@ -92,6 +92,7 @@ def test_vine_3d_gaussian_dependence(rng):
     )
 
 
+@pytest.mark.slow
 def test_vine_independent_or_negligible(rng):
     # On independent data the AIC comparison either selects the
     # independence copula or fits a negligible dependence (sample tau on
@@ -162,6 +163,7 @@ def test_vine_recovers_t_pair(rng):
     assert abs(float(kendall_tau(s[:, 0], s[:, 1])) - tau_true) < 0.06
 
 
+@pytest.mark.slow
 def test_mle_refine_improves_loglik(rng):
     # frank tau inversion goes through a Debye-function bisection with
     # grid error; the MLE refinement must never do worse, and its
