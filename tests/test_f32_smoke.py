@@ -15,6 +15,8 @@ import pytest
 SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
+from corrla_rs_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 import json
 import numpy as np
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ def test_gaussian_recovery():
         return -0.5 * jnp.sum((x / sig) ** 2)
 
     x0 = jax.random.normal(jax.random.key(0), (16, d), jnp.float64)
-    res = nuts_run(x0, lnp, n_steps=400, n_warmup=400, key=1)
+    res = nuts_run(x0, lnp, n_steps=200, n_warmup=200, key=1)
     draws = np.asarray(res.history[50:]).reshape(-1, d)
     np.testing.assert_allclose(draws.mean(0), 0.0, atol=0.15)
     np.testing.assert_allclose(draws.std(0), np.asarray(sig), rtol=0.15)
@@ -72,7 +72,7 @@ def test_funnel_divergences_detected():
                 - 0.5 * (x.shape[0] - 1) * v)
 
     x0 = jax.random.normal(jax.random.key(6), (16, 3), jnp.float64)
-    res = nuts_run(x0, lnp, n_steps=300, n_warmup=300, key=7,
+    res = nuts_run(x0, lnp, n_steps=200, n_warmup=200, key=7,
                    target_accept=0.8)
     assert bool(jnp.all(jnp.isfinite(res.history)))
     # the funnel neck generates divergences at standard target_accept

@@ -11,7 +11,16 @@ from corrla_rs_tpu.ops.random_svd import random_svd
 from corrla_rs_tpu.ops.samplers import constr_dirichlet_sample
 
 
-@pytest.mark.parametrize("seed", range(6))
+def _seeds(n, n_default=2):
+    """Seed grid tiering: the first `n_default` random configs run in the
+    default lane; the rest of the sweep runs with -m slow."""
+    return [
+        s if s < n_default else pytest.param(s, marks=pytest.mark.slow)
+        for s in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", _seeds(6))
 def test_rsvd_random_configs(seed):
     rng = np.random.default_rng(seed)
     m = int(rng.integers(8, 300))
@@ -30,7 +39,7 @@ def test_rsvd_random_configs(seed):
     assert (np.asarray(s) >= -1e-9).all()
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_rsvd_exact_low_rank_random(seed):
     rng = np.random.default_rng(100 + seed)
     m = int(rng.integers(30, 200))
@@ -44,7 +53,7 @@ def test_rsvd_exact_low_rank_random(seed):
     np.testing.assert_allclose(recon, np.asarray(a), atol=1e-6)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_dirichlet_random_feasible_bounds(seed):
     rng = np.random.default_rng(200 + seed)
     d = int(rng.integers(2, 6))
@@ -102,7 +111,7 @@ def test_rsvd_dtypes(dtype, rng):
                                rtol=rtol)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(6))
 def test_eig_device_random_configs(seed):
     from corrla_rs_tpu.ops.eig_device import eig_device
 
@@ -122,7 +131,7 @@ def test_eig_device_random_configs(seed):
     assert resid < 1e-10 * scale * n, (n, scale, resid)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_era_random_stable_systems(seed):
     # random stable (A, B, C) of random sizes: ERA recovers the poles
     # from the Markov stack at f64 tolerance
@@ -148,7 +157,7 @@ def test_era_random_stable_systems(seed):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_sketched_lstsq_random_shapes(seed):
     from corrla_rs_tpu import sketched_lstsq
 
@@ -162,7 +171,7 @@ def test_sketched_lstsq_random_shapes(seed):
     np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_pidmd_orthogonal_random_shapes(seed):
     from corrla_rs_tpu import PiDmd
 
@@ -179,7 +188,7 @@ def test_pidmd_orthogonal_random_shapes(seed):
     np.testing.assert_allclose(np.abs(fit.lambdas), 1.0, atol=1e-9)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_spod_random_shapes_orthonormal(seed):
     from corrla_rs_tpu import spod
 
@@ -203,7 +212,7 @@ def test_spod_random_shapes_orthonormal(seed):
                                    atol=1e-7)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_cp_random_exact_rank(seed):
     from corrla_rs_tpu import cp_als
 
@@ -225,7 +234,7 @@ def test_cp_random_exact_rank(seed):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_enkf_mean_is_sample_kalman_mean(seed):
     """Deterministic identity (stronger than the N->inf limit): with
     CENTERED perturbations and a linear h, both the stochastic EnKF and
@@ -259,7 +268,7 @@ def test_enkf_mean_is_sample_kalman_mean(seed):
                                atol=1e-8)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_enkf_woodbury_random_shapes(seed):
     """The ensemble-space (Woodbury) kernel must agree with the
     obs-space kernel on random p > N problems with diagonal R."""
@@ -283,7 +292,7 @@ def test_enkf_woodbury_random_shapes(seed):
                                rtol=1e-8, atol=1e-10)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_smc_evidence_random_gaussian(seed):
     """SMC log-evidence vs the analytic normalizer of a random
     linear-Gaussian model: prior N(0, a^2 I), unnormalized Gaussian
@@ -322,7 +331,7 @@ def test_smc_evidence_random_gaussian(seed):
     np.testing.assert_allclose(parts.std(0), post_std, rtol=0.25)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_psis_khat_regimes(seed):
     """k-hat must separate the importance-weight regimes: near-uniform
     (finite-variance) weights => k_hat < 0.5; Pareto(alpha<1.4) weights
@@ -350,7 +359,7 @@ def test_psis_khat_regimes(seed):
     assert r_heavy.ess < r_light.ess
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_gauss_legendre_random_poly_exact(seed):
     """n-point Gauss-Legendre integrates random polynomials of degree
     2n-1 exactly on random intervals."""
@@ -371,7 +380,7 @@ def test_gauss_legendre_random_poly_exact(seed):
     assert abs(got - exact) < 1e-9 * scale
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_gauss_hermite_random_moments(seed):
     """n-point Gauss-Hermite (standard-normal weight) reproduces
     E[X^k] = 0 (odd) / (k-1)!! (even) for every k <= 2n-1."""
@@ -387,7 +396,7 @@ def test_gauss_hermite_random_moments(seed):
         assert abs(got - exact) < 1e-8 * max(1.0, abs(exact)), (n, k)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_clenshaw_curtis_random_poly_exact(seed):
     """n-point Clenshaw-Curtis is exact for degree <= n-1 on a random
     interval."""
@@ -407,7 +416,7 @@ def test_clenshaw_curtis_random_poly_exact(seed):
     assert abs(got - exact) < 1e-9 * max(1.0, abs(exact))
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_smolyak_random_monomial_exact(seed):
     """Smolyak-CC at level L integrates random monomials of total
     degree <= 2L+1 exactly over [-1,1]^d (Novak-Ritter exactness)."""

@@ -161,18 +161,18 @@ def test_streamed_multi_device_matches_single(rng):
     if len(jax.devices()) < 4:
         pytest.skip("needs multiple (virtual) devices")
     devs = jax.devices()[:4]
-    a = _decaying_matrix(rng, 300, 24)
-    u0, s0, vt0 = streamed_random_svd(a, 8, 6, 8, key=3, block_rows=48)
+    a = _decaying_matrix(rng, 200, 16)
+    u0, s0, vt0 = streamed_random_svd(a, 6, 6, 8, key=3, block_rows=50)
     u1, s1, vt1 = streamed_random_svd(
-        a, 8, 6, 8, key=3, block_rows=48, devices=devs
+        a, 6, 6, 8, key=3, block_rows=50, devices=devs
     )
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-9)
     p0 = np.asarray(u0) @ np.asarray(u0).T
     p1 = np.asarray(u1) @ np.asarray(u1).T
     np.testing.assert_allclose(p1, p0, atol=1e-8)
     # PCA variant too
-    s_p0, c0 = streamed_pca(a, 4, block_rows=48)
-    s_p1, c1 = streamed_pca(a, 4, block_rows=48, devices=devs)
+    s_p0, c0 = streamed_pca(a, 4, block_rows=50)
+    s_p1, c1 = streamed_pca(a, 4, block_rows=50, devices=devs)
     np.testing.assert_allclose(np.asarray(s_p1), np.asarray(s_p0),
                                rtol=1e-9)
     # devices= demands the gram method

@@ -62,7 +62,7 @@ def test_vine_recovers_clayton_pair(rng):
     # conditional-method Clayton sample -> the pair fit should pick a
     # lower-tail-dependent family with roughly the right strength
     th_true = 2.0   # tau = th/(th+2) = 0.5
-    n = 2000
+    n = 1200
     u1 = jnp.asarray(rng.uniform(0.001, 0.999, n))
     w = jnp.asarray(rng.uniform(0.001, 0.999, n))
     u2 = _HINV["clayton"](w, u1, th_true)
@@ -71,9 +71,9 @@ def test_vine_recovers_clayton_pair(rng):
     fam, th = vc.pairs[0][0]
     assert fam == "clayton"
     assert abs(th - th_true) < 0.5
-    s = np.asarray(vc.sample(4000, key=3))
-    tau_s = float(kendall_tau(s[:2000, 0], s[:2000, 1]))
-    assert abs(tau_s - 0.5) < 0.07
+    s = np.asarray(vc.sample(1500, key=3))
+    tau_s = float(kendall_tau(s[:1500, 0], s[:1500, 1]))
+    assert abs(tau_s - 0.5) < 0.09
 
 
 @pytest.mark.slow
