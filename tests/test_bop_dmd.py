@@ -83,6 +83,7 @@ def test_bagged_dmd_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(m2, m1)
 
 
+@pytest.mark.slow
 def test_bagged_dmd_validation(rng):
     x, _ = _linear_traj(rng, n=8, n_t=40)
     with pytest.raises(ValueError, match="subset_frac"):

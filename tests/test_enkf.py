@@ -225,6 +225,7 @@ class TestEsmda:
             esmda(jnp.zeros((10, 2)), lambda t: t, jnp.zeros(2), 1.0,
                   jax.random.key(0), alphas=[2.0, 3.0])
 
+    @pytest.mark.slow
     def test_nonlinear_recovers_parameters(self):
         # mildly nonlinear forward: posterior mean lands near truth
         rng = np.random.default_rng(9)

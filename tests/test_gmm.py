@@ -116,6 +116,7 @@ class TestDensityAndSampling:
         total = np.trapezoid(dens, grid)
         assert abs(total - 1.0) < 1e-6
 
+    @pytest.mark.slow
     def test_sample_matches_fit_moments(self):
         x, _, _ = _three_blobs(n_per=300, seed=1)
         fit = gmm_fit(x, 3, key=0)

@@ -36,6 +36,7 @@ def test_hankel_scalar_two_tone_spectrum_and_forecast():
     np.testing.assert_allclose(pred, sig[400:420], atol=1e-7)
 
 
+@pytest.mark.slow
 def test_hankel_beats_direct_dmd_on_standing_wave(rng):
     # standing wave: spatial rank 1, dynamic rank 2 — the classic
     # direct-DMD failure (Tu et al. 2014 sec. 4; Brunton-Kutz book 7.5)

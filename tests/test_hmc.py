@@ -85,6 +85,7 @@ def test_divergence_counting_and_validation():
         hmc_run(jnp.zeros(3), lnp, 5)
 
 
+@pytest.mark.slow
 def test_jittered_trajectories_fix_resonance():
     """A fixed trajectory length can resonate (end where it started) on a
     harmonic target with matching period; jitter_steps breaks it. With

@@ -74,6 +74,7 @@ def test_multistart_finds_dominant_mode():
                                atol=0.01)
 
 
+@pytest.mark.slow
 def test_sampling_and_saddle_guard():
     mu = jnp.array([2.0, -1.0])
 

@@ -45,6 +45,7 @@ def test_unbiased_and_se_calibrated():
     assert ests.std(ddof=1) < 0.02
 
 
+@pytest.mark.slow
 def test_allocation_decays_with_level():
     r = mlmc_estimate([_level_fn(l) for l in range(LEVELS)],
                       sample_inputs, COSTS, target_se=0.005, key=0)

@@ -6,6 +6,7 @@ import pytest
 from corrla_rs_tpu.ops.morris import morris_screening, morris_trajectories
 
 
+@pytest.mark.slow
 def test_trajectory_structure():
     bounds = np.array([[0.0, 1.0], [-2.0, 2.0], [10.0, 20.0]])
     pts, signs, order = morris_trajectories(bounds, 16, key=0)

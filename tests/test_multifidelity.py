@@ -62,6 +62,7 @@ def test_unbiased_and_variance_reduction():
     assert emp_var < 0.7 * d.mc_variance
 
 
+@pytest.mark.slow
 def test_pilot_path_runs_and_orders():
     res = mfmc_estimate([F1, F2, F3], sample_inputs, COSTS,
                         budget=300.0, n_pilot=4000, key=7)

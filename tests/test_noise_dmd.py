@@ -95,6 +95,7 @@ def test_sqrtm_db_matches_scipy(rng):
     np.testing.assert_allclose(got_b, b, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_device_eig_backend_composes_with_tls(rng):
     x, lam_true = _osc_traj(rng, n_t=200)
     fit = DMD(x, 3, solver="tls", eig_backend="device", key=2)

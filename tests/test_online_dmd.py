@@ -105,6 +105,7 @@ def test_forgetting_tracks_switched_dynamics(rng):
     assert err_flat > 100 * err_forget
 
 
+@pytest.mark.slow
 def test_forgetting_is_batch_size_invariant(rng):
     # rho weights snapshot PAIRS, so chunking must not change the result
     n, q, m = 3, 1, 60

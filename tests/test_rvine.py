@@ -134,6 +134,7 @@ def test_rvine_recovers_markov_chain_structure(rng):
             assert fam == "independent"
 
 
+@pytest.mark.slow
 def test_rvine_sampling_roundtrips_tau(rng):
     data = _markov_chain_data(rng)
     m = RVineCopula().fit(data)

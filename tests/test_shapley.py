@@ -55,6 +55,7 @@ def test_mc_matches_closed_form():
     assert float(jnp.sum(sh)) == pytest.approx(1.0, abs=0.05)
 
 
+@pytest.mark.slow
 def test_nonlinear_symmetric_model():
     """Ishigami-free sanity: x0^2 + x1^2 with iid inputs -> equal
     effects; an inert input gets ~0."""

@@ -205,6 +205,7 @@ def test_checkpoint_roundtrip(tmp_path, lorenz_traj):
         np.asarray(model.simulate(x[0], 50, dt=dt)), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_errors():
     x = jnp.zeros((10, 2))
     with pytest.raises(ValueError, match="fit"):

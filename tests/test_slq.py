@@ -21,6 +21,7 @@ def test_logdet_well_conditioned():
     assert est == pytest.approx(truth, rel=2e-2)
 
 
+@pytest.mark.slow
 def test_logdet_moderately_ill():
     a = _spd(200, 1e6, 1)
     truth = float(np.linalg.slogdet(np.asarray(a))[1])
@@ -64,6 +65,7 @@ def test_lanczos_exact_eigenvalues_small():
     np.testing.assert_allclose(nodes, truth, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_gp_evidence_use_case():
     """The motivating application: N(0, K + s2 I) log-marginal-likelihood
     of n=400 points, logdet term via SLQ vs Cholesky."""

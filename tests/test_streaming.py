@@ -83,6 +83,7 @@ def test_streamed_gram(rng):
     assert n == 130
 
 
+@pytest.mark.slow
 def test_streamed_pca_matches_rpca(rng):
     from corrla_rs_tpu.api import rpca
 

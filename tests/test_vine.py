@@ -32,6 +32,7 @@ def test_hinv_roundtrip_all_families(rng):
         assert float(jnp.max(jnp.abs(u2 - u))) < 1e-9, fam
 
 
+@pytest.mark.slow
 def test_pdf_is_derivative_of_h(rng):
     # c(u, v) = d h(u|v) / d u — ties the log-pdfs used for family
     # selection to the h-functions used for conditioning/sampling
