@@ -60,5 +60,5 @@ def enable_persistent_cache(path: str | None = None) -> None:
             "~/.cache/jax_comp_cache-" + host_feature_tag()
         )
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -32,7 +32,7 @@ def test_linear_function_exact_effects():
     def f(x):
         return 3.0 * x[:, 0] - 2.0 * x[:, 1]
 
-    out = morris_screening(f, bounds, n_traj=32, key=1)
+    out = morris_screening(f, bounds, n_traj=8, key=1)
     np.testing.assert_allclose(
         np.asarray(out["mu"]), [3.0, -2.0, 0.0], atol=1e-10
     )

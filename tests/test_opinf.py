@@ -79,6 +79,7 @@ def test_rom_forecast_from_lifted_snapshots():
                                atol=5e-3)
 
 
+@pytest.mark.slow
 def test_with_control_input():
     """Forced linear-quadratic system: B recovered through the data."""
     b_true = jnp.asarray(RNG.standard_normal((R, 1)))

@@ -341,6 +341,7 @@ def test_sharded_single_pass_svd_matches_single(rng):
     np.testing.assert_allclose(rec, b, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_sparse_gp_matches_single(rng):
     # SGPR's heavy factors (K_mn solve, A A^T via tall-skinny QR, A y) are
     # matmul/QR-shaped over the sample axis: GSPMD partitions them when

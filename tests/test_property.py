@@ -111,7 +111,7 @@ def test_rsvd_dtypes(dtype, rng):
                                rtol=rtol)
 
 
-@pytest.mark.parametrize("seed", _seeds(6))
+@pytest.mark.parametrize("seed", _seeds(6, n_default=1))
 def test_eig_device_random_configs(seed):
     from corrla_rs_tpu.ops.eig_device import eig_device
 

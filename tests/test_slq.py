@@ -38,6 +38,7 @@ def test_trace_inverse():
     assert est == pytest.approx(truth, rel=3e-2)
 
 
+@pytest.mark.slow
 def test_matrix_free_callable():
     """Matrix-free operator parity: same estimate as the explicit matrix
     at the same key (identical probes and arithmetic path)."""

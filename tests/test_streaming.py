@@ -159,9 +159,9 @@ def test_streamed_errors(rng):
 def test_streamed_multi_device_matches_single(rng):
     import jax
 
-    if len(jax.devices()) < 4:
+    if len(jax.devices()) < 2:
         pytest.skip("needs multiple (virtual) devices")
-    devs = jax.devices()[:4]
+    devs = jax.devices()[:2]
     a = _decaying_matrix(rng, 200, 16)
     u0, s0, vt0 = streamed_random_svd(a, 6, 6, 8, key=3, block_rows=50)
     u1, s1, vt1 = streamed_random_svd(
@@ -283,6 +283,7 @@ def test_streamed_pod_validates(rng):
         streamed_pod(rng.standard_normal((4, 50)), np.zeros((3, 1)), 2)
 
 
+@pytest.mark.slow
 def test_streamed_dmdc_matches_in_memory():
     from corrla_rs_tpu.models.dmd import DMDc
     from corrla_rs_tpu.ops.mat_utils import mat_linspace

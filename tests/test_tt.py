@@ -16,6 +16,7 @@ def _tt_random(rng, dims, ranks):
     return t.reshape(dims), cores
 
 
+@pytest.mark.slow
 def test_exact_on_tt_rank_tensor(rng):
     dims, ranks = (6, 7, 5, 4), (2, 3, 2)
     dense, _ = _tt_random(rng, dims, ranks)

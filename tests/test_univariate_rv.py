@@ -103,6 +103,19 @@ def test_exponential():
     assert abs(fit.lam - 2.0) < 5e-2
 
 
+def test_kde_fixed_bandwidth_smoke():
+    # Default-lane KDE rep: fixed bandwidth (no CV), pdf normalizes and
+    # sampling reproduces the support moments. The bandwidth-selection
+    # parity tests (est_bandwidth / build_kde) run with -m slow.
+    support_s = NormalRv(5.25, 10.0).sample(400, key=7)
+    kde = KdeRv(4.0, support_s)
+    xg = np.linspace(-40, 50, 801)
+    pdf = np.asarray(kde.pdf(xg))
+    assert abs(np.trapezoid(pdf, xg) - 1.0) < 1e-3
+    ks = kde.sample(4000, key=9)
+    assert abs(float(jnp.mean(ks)) - float(jnp.mean(support_s))) < 9e-1
+
+
 @pytest.mark.slow
 def test_kde():
     # Parity with test_kde_rv (univariate_rv.rs:573-605).
@@ -122,6 +135,7 @@ def test_kde():
     assert abs(np.trapezoid(pdf, xg) - 1.0) < 1e-3
 
 
+@pytest.mark.slow
 def test_build_kde():
     support_s = NormalRv(5.25, 10.0).sample(400, key=10)
     auto = build_kde(1.0, support_s, n_iter=2, method=2, key=11)
