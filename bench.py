@@ -376,7 +376,19 @@ def main():
         _emit_line(headline)
 
     # 2. remaining metrics, each under a watchdog; a stalled phase is
-    #    skipped, never fatal.
+    #    skipped, never fatal. The small-path routing threshold is
+    #    snapshotted/restored HERE in the main thread: a phase that
+    #    flips it (bench_dream benchmarks the accelerator path with the
+    #    threshold at 0) restores it in its own finally, but a
+    #    watchdog-abandoned thread is still blocked inside the stalled
+    #    device op, so its finally has not run yet — without the
+    #    main-thread restore, every later phase would measure in the
+    #    wrong routing regime.
+    from corrla_rs_tpu.utils.smallpath import (
+        set_small_path_threshold,
+        small_path_threshold,
+    )
+
     phases = [
         ("cs_mcmc", bench_small_mcmc),
         ("dream", bench_dream),
@@ -384,7 +396,9 @@ def main():
         ("single_pass", lambda: bench_single_pass(baseline)),
     ]
     for name, fn in phases:
+        prev_threshold = small_path_threshold()
         line = _run_phase(name, fn, PHASE_BUDGET_S)
+        set_small_path_threshold(prev_threshold)
         if line is not None:
             _emit_line(line)
 
@@ -393,8 +407,18 @@ def main():
     if headline is not None:
         _emit_line(headline)
     else:
-        print("bench.py: headline phase did not complete — no final "
-              "re-emit", file=sys.stderr, flush=True)
+        # The last stdout line must still name the headline metric —
+        # otherwise a driver parsing the last line would misattribute
+        # whichever secondary metric happened to emit last (same unit
+        # and magnitude as the headline wall). Emit an explicit,
+        # JSON-parseable failure sentinel, then the nonzero exit.
+        print(json.dumps({
+            "metric": "rsvd_100kx10k_f32_rank100_wall",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": "headline phase lost (stall or failure)",
+        }), flush=True)
+        print("bench.py: headline phase did not complete — emitted "
+              "failure sentinel", file=sys.stderr, flush=True)
         raise SystemExit(4)
 
 

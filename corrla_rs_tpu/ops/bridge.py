@@ -88,9 +88,11 @@ def bridge_sampling_evidence(ln_post_fn: Callable, posterior_draws,
     s2 = n2 / (n1 + n2)
     log_s1, log_s2 = np.log(s1), np.log(s2)
 
-    def _lse(a):
-        m = np.max(a)
-        return m + np.log(np.sum(np.exp(a - m)))
+    # scipy's logsumexp rather than the hand-rolled max-shift: it keeps
+    # the all--inf edge (every proposal draw outside the posterior's
+    # support) at -inf instead of the max-shift's nan, so a hopeless
+    # proposal surfaces as log_evidence=-inf, not a silent NaN.
+    from scipy.special import logsumexp as _lse
 
     # optimal-bridge fixed point on r = log Z (Meng-Wong iteration in
     # log space): r <- logmean[ exp(l2) / (s1 exp(l2) + s2 exp(r)) ]
@@ -100,6 +102,18 @@ def bridge_sampling_evidence(ln_post_fn: Callable, posterior_draws,
     # jitters at eps*|log Z| so tight tolerances would never be met
     # (measured: converged=False on every f32 TPU run of the capstone
     # demo before this hoist).
+    # Degenerate-overlap guard: if EVERY proposal draw has zero
+    # posterior density (l2 all -inf, e.g. a bounded-support posterior
+    # with an overdispersed proposal), the bridge estimator has no
+    # overlap to work with — the fixed point below would produce
+    # -inf+inf = NaN. Surface the failure as a diagnosable -inf with
+    # converged=False instead of a silent NaN.
+    if not np.any(np.isfinite(l2)):
+        return BridgeResult(
+            log_evidence=float("-inf"), n_iterations=0, converged=False,
+            proposal_mean=mu, proposal_chol=chol,
+        )
+
     r = float(np.median(l2))    # robust start
     converged = False
     it = 0

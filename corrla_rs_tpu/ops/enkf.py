@@ -144,7 +144,7 @@ def enkf_analysis(x_ens, y_obs, h, r, key, inflation: float = 1.0,
     member-axis Gram contractions psum O(p*(p+n)) blocks and the
     perturbed-obs draw is key-identical to the single-device run, so
     the sharded analysis matches at reduction-order (f64 ~1e-12)
-    tolerance. N must divide the mesh axis size.
+    tolerance. The mesh axis size must divide N.
     """
     x_ens = jnp.asarray(x_ens)
     if x_ens.ndim != 2:

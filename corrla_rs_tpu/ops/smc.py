@@ -135,7 +135,7 @@ def smc_sample(ln_like: Callable, ln_prior: Callable, init_particles,
     population (d is the parameter dimension — tiny by MCMC standards;
     the SURVEY §2.2 chain-head contract). Same keys as the
     single-device path, so results agree at reduction-order tolerance.
-    n must divide the mesh axis size.
+    The mesh axis size must divide n.
     """
     particles = jnp.asarray(init_particles)
     n, d = particles.shape

@@ -63,9 +63,11 @@ def test_headline_survives_mid_bench_stall():
 
 @pytest.mark.slow
 def test_headline_stall_is_fatal_with_clear_exit():
-    """If the HEADLINE phase itself stalls there is nothing worth
-    emitting: the bench must exit nonzero quickly (budget-bounded)
-    instead of hanging into the driver's kill."""
+    """If the HEADLINE phase itself stalls, the bench must exit nonzero
+    quickly (budget-bounded) AND leave the headline metric name as the
+    final stdout line — as an explicit value=null failure sentinel — so
+    a driver parsing the last line can never misattribute a secondary
+    wall (same unit/magnitude) to the flagship metric."""
     env = dict(os.environ)
     env["CORRLA_BENCH_SMOKE"] = "1"
     env["CORRLA_BENCH_STALL"] = "headline_rsvd"
@@ -76,5 +78,7 @@ def test_headline_stall_is_fatal_with_clear_exit():
         timeout=300, env=env,
     )
     assert proc.returncode == 4
-    assert _parse_json_lines(proc.stdout)[-1:] == [] or \
-        _parse_json_lines(proc.stdout)[-1]["metric"] != HEADLINE
+    last = _parse_json_lines(proc.stdout)[-1]
+    assert last["metric"] == HEADLINE
+    assert last["value"] is None
+    assert "error" in last

@@ -68,3 +68,18 @@ def test_validation():
         bridge_sampling_evidence(lnp, jnp.zeros((5, 2)))
     with pytest.raises(ValueError, match="\\(n, d\\)"):
         bridge_sampling_evidence(lnp, jnp.zeros(10))
+
+
+def test_no_overlap_returns_neg_inf_not_nan():
+    # Every proposal draw outside the posterior's support: the bridge
+    # estimator has no overlap — must surface as a diagnosable -inf
+    # with converged=False, never a silent NaN (round-5 review fix).
+    def ln_post(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 1e-9), 0.0, -jnp.inf)
+
+    draws = jnp.asarray(
+        np.random.default_rng(0).standard_normal((400, 2)) + 5.0
+    )
+    res = bridge_sampling_evidence(ln_post, draws, key=4)
+    assert np.isneginf(res.log_evidence)
+    assert not res.converged
