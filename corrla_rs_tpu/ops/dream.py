@@ -117,8 +117,12 @@ def _dream_generation(state: DreamState, rand: _GenRand, ln_prob_fn,
     cr_ids = jnp.sum(rand.u_cr[:, None] > cdf[None, :], axis=1)
     cr = (cr_ids.astype(dtype) + 1.0) / n_cr
     mask = rand.z < cr[:, None]
-    # guarantee at least one updated dimension per chain
-    mask = mask.at[jnp.arange(n_chains), rand.force].set(True)
+    # guarantee at least one updated dimension per chain. One-hot OR, not
+    # .at[...].set: a scatter inside the scan body serializes on the TPU
+    # scalar unit — swapping the three scatters in this generation for
+    # their elementwise equivalents measured 17.7 -> 33.9 M samples/s on
+    # the chip at the 8192-chain bench shape, bitwise-identical history.
+    mask = mask | (jnp.arange(d)[None, :] == rand.force[:, None])
     d_eff = jnp.sum(mask.astype(dtype), axis=1)
 
     gamma = 2.38 / jnp.sqrt(2.0 * rand.delta.astype(dtype) * d_eff)
@@ -139,9 +143,11 @@ def _dream_generation(state: DreamState, rand: _GenRand, ln_prob_fn,
     # squared normalized jump distance of the realized moves
     jds = jnp.sum(((xs - state.heads) / chain_std) ** 2, axis=1)
 
-    # crossover adaptation (burn-in only)
-    jump_dist = state.jump_dist + jnp.zeros_like(state.jump_dist).at[cr_ids].add(jds)
-    n_id = state.n_id + jnp.zeros_like(state.n_id).at[cr_ids].add(1.0)
+    # crossover adaptation (burn-in only) — scatter-free: the n_cr-bin
+    # histogram is a one-hot masked reduction (n_cr is tiny, 3 by default)
+    onehot = (cr_ids[:, None] == jnp.arange(n_cr)[None, :]).astype(dtype)
+    jump_dist = state.jump_dist + jnp.sum(onehot * jds[:, None], axis=0)
+    n_id = state.n_id + jnp.sum(onehot, axis=0)
     mean_jump = jump_dist / jnp.maximum(n_id, 1.0)
     p_cr_new = mean_jump / jnp.maximum(jnp.sum(mean_jump), 1e-30)
     p_cr_new = jnp.maximum(p_cr_new, 0.05 / n_cr)  # keep every CR alive
@@ -183,7 +189,10 @@ def make_dream_state(init_heads, ln_prob_fn: Callable, n_cr: int = _CFG.n_cr,
 
 
 def _chunk_for(n_chains: int) -> int:
-    """Generations per pre-drawn randomness chunk.
+    """Generations per pre-drawn randomness chunk (DEMC + small-DREAM).
+
+    DREAM itself now schedules via ``_sched_for`` below (measured on the
+    scatter-free body); ``ops.samplers.demc_run`` still imports this.
 
     Small populations are dominated by per-generation kernel-launch
     overhead -> amortize with big chunks (measured at 512 chains:
@@ -193,6 +202,25 @@ def _chunk_for(n_chains: int) -> int:
     BASELINE.md round-2 notes.
     """
     return max(5, min(50, 25600 // max(n_chains, 1)))
+
+
+def _sched_for(n_chains: int) -> tuple[int, int]:
+    """(chunk, unroll) schedule for the scatter-free generation body.
+
+    Measured on the chip (3 population sizes x 4 schedules, min-of-5
+    steady walls, BASELINE.md round-5 notes): mid-size populations are
+    scan-overhead-bound and favor chunk 10 / unroll 8 (35.0 vs 31.8 M
+    samples/s at 8192 chains); very large ones pay HBM for the
+    (chunk, n, d) randomness tensors and want the smallest chunk
+    (32768 chains: chunk 5 / unroll 4 = 35.7 M/s, chunk 10 / unroll 8 =
+    32.4); small ones amortize the PRNG draws with big chunks and LOSE
+    from deep unrolling (512 chains: unroll 8 is ~12% slower than 4).
+    """
+    if n_chains <= 2048:
+        return _chunk_for(n_chains), 4
+    if n_chains <= 16384:
+        return 10, 8
+    return 5, 4
 
 
 @functools.partial(
@@ -236,7 +264,8 @@ def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
               gamma_jump_prob: float = _CFG.gamma_jump_prob,
               b: float = _CFG.b, b_star: float = _CFG.b_star,
               n_adapt: int = _CFG.n_adapt, prop_fixup_fn=None,
-              unroll: int = 4, init_state: DreamState | None = None):
+              unroll: int | None = None,
+              init_state: DreamState | None = None):
     """Run n_steps DREAM generations; returns (history, final_state).
 
     history: (n_steps, n_chains, d). ``n_adapt``: generations of crossover
@@ -258,13 +287,15 @@ def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
         "DREAM needs n_chains >= 2*delta_max + 1"
     )
     n_steps = int(n_steps)
+    chunk_size, auto_unroll = _sched_for(n_chains)
+    if unroll is None:
+        unroll = auto_unroll
     run = functools.partial(
         _dream_scan, ln_prob_fn=ln_prob_fn, delta_max=delta_max, n_cr=n_cr,
         gamma_jump_prob=gamma_jump_prob, b=b, b_star=b_star, n_adapt=n_adapt,
         prop_fixup_fn=prop_fixup_fn, unroll=unroll,
     )
     histories = []
-    chunk_size = _chunk_for(n_chains)
     n_main, rem = divmod(n_steps, chunk_size)
     if n_main:
         state, h = run(state, n_chunks=n_main, chunk=chunk_size)

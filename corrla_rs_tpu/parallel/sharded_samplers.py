@@ -155,7 +155,9 @@ def _dream_sharded_jit(heads, ln_prob_fn, n_steps, key, delta_max, n_cr,
             cr_l = sl(cr_ids)
             cr = (cr_l.astype(dtype) + 1.0) / n_cr
             mask = sl(z) < cr[:, None]
-            mask = mask.at[jnp.arange(n_local), sl(force)].set(True)
+            # one-hot OR instead of a scatter (see ops/dream.py — the
+            # scatter-free generation body measured ~1.9x on chip)
+            mask = mask | (jnp.arange(d)[None, :] == sl(force)[:, None])
             d_eff = jnp.sum(mask.astype(dtype), axis=1)
             gamma = 2.38 / jnp.sqrt(2.0 * sl(delta).astype(dtype) * d_eff)
             gamma = jnp.where(sl(unit_jump), jnp.asarray(1.0, dtype), gamma)
@@ -171,13 +173,13 @@ def _dream_sharded_jit(heads, ln_prob_fn, n_steps, key, delta_max, n_cr,
             lnps = jnp.where(accepts, lnp_prop, lnp_l)
             jds = jnp.sum(((xs - heads_l) / chain_std) ** 2, axis=1)
 
-            # crossover adaptation from globally-reduced jump statistics
+            # crossover adaptation from globally-reduced jump statistics;
+            # scatter-free n_cr-bin histogram via one-hot masked reduction
+            onehot = (cr_l[:, None] == jnp.arange(n_cr)[None, :]).astype(dtype)
             jd_add = lax.psum(
-                jnp.zeros((n_cr,), dtype).at[cr_l].add(jds), axis_name
+                jnp.sum(onehot * jds[:, None], axis=0), axis_name
             )
-            id_add = lax.psum(
-                jnp.zeros((n_cr,), dtype).at[cr_l].add(1.0), axis_name
-            )
+            id_add = lax.psum(jnp.sum(onehot, axis=0), axis_name)
             jump_dist = jump_dist + jd_add
             n_id = n_id + id_add
             mean_jump = jump_dist / jnp.maximum(n_id, 1.0)
