@@ -121,6 +121,33 @@ def test_dream_dirichlet_simplex():
     assert (tail < BOUNDS[:, 1][None, :] + 1e-12).all()
 
 
+def test_dream_midsize_schedule_branch():
+    # The round-5 scatter-free body ships with a size-dependent
+    # (chunk, unroll) schedule (_sched_for); 2048 < n <= 16384 takes the
+    # chunk-10/unroll-8 branch. Exercise it end-to-end with a remainder
+    # chunk (23 = 2 x 10 + 3) and an explicit-unroll override.
+    from corrla_rs_tpu.ops.dream import _sched_for
+
+    assert _sched_for(4096) == (10, 8)
+    assert _sched_for(512)[1] == 4
+    assert _sched_for(32768) == (5, 4)
+
+    def lnp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    heads0 = jnp.asarray(
+        np.random.default_rng(4).standard_normal((4096, 2)), jnp.float32
+    )
+    hist, state = dream_run(heads0, lnp, 23, key=9)
+    assert hist.shape == (23, 4096, 2)
+    assert np.isfinite(np.asarray(hist)).all()
+    assert int(state.t) == 23
+    assert 0 < int(state.n_accept) <= 23 * 4096
+    # explicit unroll still honored (None just defers to the schedule)
+    hist1, _ = dream_run(heads0, lnp, 7, key=9, unroll=1)
+    assert hist1.shape == (7, 4096, 2)
+
+
 def test_dream_requires_enough_chains():
     def lnp(x):
         return -0.5 * jnp.sum(x**2)
