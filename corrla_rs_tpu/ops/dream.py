@@ -92,6 +92,20 @@ def _draw_chunk(key, n_gens, n_chains, d, delta_max, b, b_star, dtype):
     )
 
 
+def _cr_histogram(cr_ids, jds, n_cr, dtype):
+    """Per-CR-bin (jump-distance sum, use count), scatter-free.
+
+    One-hot masked reductions instead of ``.at[cr_ids].add`` — vector-
+    index scatters serialize the scan body on the TPU scalar unit
+    (measured 17.7 -> 33.9 M samples/s at the 8192-chain bench shape
+    when the generation's three scatters became elementwise ops). Shared
+    by the single-chip and mesh-sharded generation bodies so the
+    same-answer property can't drift.
+    """
+    onehot = (cr_ids[:, None] == jnp.arange(n_cr)[None, :]).astype(dtype)
+    return jnp.sum(onehot * jds[:, None], axis=0), jnp.sum(onehot, axis=0)
+
+
 def _dream_generation(state: DreamState, rand: _GenRand, ln_prob_fn,
                       delta_max, n_cr, gamma_jump_prob, n_adapt,
                       prop_fixup_fn):
@@ -143,11 +157,10 @@ def _dream_generation(state: DreamState, rand: _GenRand, ln_prob_fn,
     # squared normalized jump distance of the realized moves
     jds = jnp.sum(((xs - state.heads) / chain_std) ** 2, axis=1)
 
-    # crossover adaptation (burn-in only) — scatter-free: the n_cr-bin
-    # histogram is a one-hot masked reduction (n_cr is tiny, 3 by default)
-    onehot = (cr_ids[:, None] == jnp.arange(n_cr)[None, :]).astype(dtype)
-    jump_dist = state.jump_dist + jnp.sum(onehot * jds[:, None], axis=0)
-    n_id = state.n_id + jnp.sum(onehot, axis=0)
+    # crossover adaptation (burn-in only)
+    jd_add, id_add = _cr_histogram(cr_ids, jds, n_cr, dtype)
+    jump_dist = state.jump_dist + jd_add
+    n_id = state.n_id + id_add
     mean_jump = jump_dist / jnp.maximum(n_id, 1.0)
     p_cr_new = mean_jump / jnp.maximum(jnp.sum(mean_jump), 1e-30)
     p_cr_new = jnp.maximum(p_cr_new, 0.05 / n_cr)  # keep every CR alive
@@ -303,6 +316,8 @@ def dream_run(init_heads, ln_prob_fn: Callable, n_steps: int, key=0,
     if rem:
         state, h = run(state, n_chunks=1, chunk=rem)
         histories.append(h)
+    if not histories:  # n_steps == 0: empty history, state unchanged
+        return jnp.zeros((0,) + state.heads.shape, state.heads.dtype), state
     history = (
         histories[0] if len(histories) == 1
         else jnp.concatenate(histories, axis=0)

@@ -157,6 +157,9 @@ def stretch_run(init_walkers, ln_prob_fn: Callable, n_steps: int,
     if rem:
         state, h = run(state, n_chunks=1, chunk=rem)
         histories.append(h)
+    if not histories:  # n_steps == 0: empty history, state unchanged
+        return (jnp.zeros((0,) + state.walkers.shape, state.walkers.dtype),
+                state)
     history = (histories[0] if len(histories) == 1
                else jnp.concatenate(histories, axis=0))
     return history, state

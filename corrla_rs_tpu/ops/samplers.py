@@ -391,6 +391,8 @@ def demc_run(init_heads, ln_prob_fn, n_steps: int, gamma: float,
     if rem:
         state, h = run(state, n_chunks=1, chunk=rem)
         histories.append(h)
+    if not histories:  # n_steps == 0: empty history, state unchanged
+        return jnp.zeros((0,) + state.heads.shape, state.heads.dtype), state
     history = (
         histories[0] if len(histories) == 1
         else jnp.concatenate(histories, axis=0)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from corrla_rs_tpu.ops.dream import _cr_histogram
 from corrla_rs_tpu.ops.samplers import _pick_two_others
 from corrla_rs_tpu.parallel.mesh import CHAINS_AXIS, make_mesh
 from corrla_rs_tpu.utils.prng import as_key
@@ -173,13 +174,11 @@ def _dream_sharded_jit(heads, ln_prob_fn, n_steps, key, delta_max, n_cr,
             lnps = jnp.where(accepts, lnp_prop, lnp_l)
             jds = jnp.sum(((xs - heads_l) / chain_std) ** 2, axis=1)
 
-            # crossover adaptation from globally-reduced jump statistics;
-            # scatter-free n_cr-bin histogram via one-hot masked reduction
-            onehot = (cr_l[:, None] == jnp.arange(n_cr)[None, :]).astype(dtype)
-            jd_add = lax.psum(
-                jnp.sum(onehot * jds[:, None], axis=0), axis_name
-            )
-            id_add = lax.psum(jnp.sum(onehot, axis=0), axis_name)
+            # crossover adaptation from globally-reduced jump statistics
+            # (scatter-free histogram shared with ops.dream)
+            jd_loc, id_loc = _cr_histogram(cr_l, jds, n_cr, dtype)
+            jd_add = lax.psum(jd_loc, axis_name)
+            id_add = lax.psum(id_loc, axis_name)
             jump_dist = jump_dist + jd_add
             n_id = n_id + id_add
             mean_jump = jump_dist / jnp.maximum(n_id, 1.0)

@@ -148,6 +148,27 @@ def test_dream_midsize_schedule_branch():
     assert hist1.shape == (7, 4096, 2)
 
 
+def test_zero_steps_returns_empty_history():
+    # review finding: n_steps=0 used to crash in jnp.concatenate([]) —
+    # all three chunked run loops (DREAM, DEMC, stretch) now return an
+    # empty (0, n, d) history with the state untouched.
+    from corrla_rs_tpu.ops.ensemble_mcmc import stretch_run
+    from corrla_rs_tpu.ops.samplers import demc_run
+
+    def lnp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    heads0 = jnp.asarray(np.random.default_rng(5).standard_normal((10, 2)))
+    h, state = dream_run(heads0, lnp, 0, key=1)
+    assert h.shape == (0, 10, 2)
+    np.testing.assert_array_equal(np.asarray(state.heads),
+                                  np.asarray(heads0))
+    h, _ = demc_run(heads0, lnp, 0, gamma=0.8, var_epsilon=1e-6, key=1)
+    assert h.shape == (0, 10, 2)
+    h, _ = stretch_run(heads0, lnp, 0, key=1)
+    assert h.shape == (0, 10, 2)
+
+
 def test_dream_requires_enough_chains():
     def lnp(x):
         return -0.5 * jnp.sum(x**2)
