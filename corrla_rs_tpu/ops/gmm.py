@@ -164,7 +164,7 @@ def _gmm_em_kernel(x, key, k, n_iter, cov_type, reg, tol):
 
 def gmm_fit(x, n_components: int, key=0, n_iter: int = 200,
             cov_type: str = "full", reg: float = 1e-6,
-            tol: float = 1e-7) -> GmmFit:
+            tol: float = 1e-7, mesh=None, axis_name=None) -> GmmFit:
     """Fit a Gaussian mixture with EM (k-means++ init).
 
     x (n, d) data; n_components: mixture size k; key: int seed or PRNG
@@ -173,6 +173,14 @@ def gmm_fit(x, n_components: int, key=0, n_iter: int = 200,
     check ``fit.n_iter``); cov_type 'full' or 'diag'; reg: diagonal
     regularization added to every covariance (keeps Cholesky alive
     when a component collapses onto few points).
+
+    Multi-chip: ``mesh=`` row-shards the data over ``axis_name`` (first
+    mesh axis by default; the axis size must divide n). Each EM
+    iteration's E-step log-density matrix stays shard-local and the
+    M-step reduces psum'd O(k d^2) sufficient statistics — the same
+    psum-Gram contract as parallel/sharded_rsvd (GSPMD inserts the
+    collectives from the sharding annotation). Same keys as the
+    single-device path, so results agree to reduction-order tolerance.
 
     Returns :class:`GmmFit`. Monotone EM ascent, agreement with
     sklearn's GaussianMixture optimum, and label recovery on separated
@@ -189,8 +197,19 @@ def gmm_fit(x, n_components: int, key=0, n_iter: int = 200,
         raise ValueError("cov_type must be 'full' or 'diag', got "
                          f"{cov_type!r}")
     key = as_key(key)
-    from corrla_rs_tpu.utils.smallpath import maybe_route_small
-    (x,) = maybe_route_small(x, work_elems=n * k * int(x.shape[1]) ** 2)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = axis_name or mesh.axis_names[0]
+        if n % mesh.shape[ax]:
+            raise ValueError(
+                f"mesh axis size ({mesh.shape[ax]}) must divide the "
+                f"row count ({n})")
+        x = jax.device_put(x, NamedSharding(mesh, P(ax, None)))
+    else:
+        from corrla_rs_tpu.utils.smallpath import maybe_route_small
+        (x,) = maybe_route_small(
+            x, work_elems=n * k * int(x.shape[1]) ** 2)
     w, means, covs, ll, it, resp = _gmm_em_kernel(
         x, key, k, int(n_iter), cov_type,
         jnp.asarray(reg, x.dtype), jnp.asarray(tol, x.dtype))

@@ -47,7 +47,8 @@ def _systematic_indices(key, log_w, n):
 
 
 def particle_filter(x0_particles, y_seq, propagate, loglik_obs, key,
-                    resample_threshold: float = 0.5):
+                    resample_threshold: float = 0.5, mesh=None,
+                    axis_name=None):
     """Bootstrap (SIR) particle filter with adaptive systematic
     resampling.
 
@@ -57,6 +58,16 @@ def particle_filter(x0_particles, y_seq, propagate, loglik_obs, key,
     loglik_obs(x, y) -> scalar log p(y | x) per particle (vmapped);
     resample_threshold: resample when ESS < threshold * N (1.0 =
     always, 0.0 = never).
+
+    Multi-chip: ``mesh=`` particle-shards the cloud over ``axis_name``
+    (first mesh axis by default; the axis size must divide N). Per
+    step, propagation and observation likelihoods run shard-local; the
+    evidence/ESS reductions are psum'd scalars and only the systematic
+    resample gathers the (N,) weight vector plus the selected particle
+    rows across the mesh (the SURVEY §2.2 chain-head contract — GSPMD
+    inserts the collectives from the sharding annotation). Same keys as
+    the single-device path, so results agree to reduction-order
+    tolerance.
 
     Returns a dict: ``means`` (T, n) posterior-weighted filtered
     means, ``loglik`` — the log marginal likelihood estimate
@@ -75,10 +86,20 @@ def particle_filter(x0_particles, y_seq, propagate, loglik_obs, key,
     if not 0.0 <= float(resample_threshold) <= 1.0:
         raise ValueError("resample_threshold must be in [0, 1]")
     thresh = float(resample_threshold) * n_part
-    from corrla_rs_tpu.utils.smallpath import maybe_route_small
-    x0, y_seq = maybe_route_small(
-        x0, y_seq,
-        work_elems=int(y_seq.shape[0]) * int(np.prod(x0.shape)))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = axis_name or mesh.axis_names[0]
+        if n_part % mesh.shape[ax]:
+            raise ValueError(
+                f"mesh axis size ({mesh.shape[ax]}) must divide the "
+                f"particle count ({n_part})")
+        x0 = jax.device_put(x0, NamedSharding(mesh, P(ax, None)))
+    else:
+        from corrla_rs_tpu.utils.smallpath import maybe_route_small
+        x0, y_seq = maybe_route_small(
+            x0, y_seq,
+            work_elems=int(y_seq.shape[0]) * int(np.prod(x0.shape)))
     prop_v = jax.vmap(propagate, in_axes=(0, 0))
     lik_v = jax.vmap(loglik_obs, in_axes=(0, None))
     log_n = jnp.log(jnp.asarray(float(n_part), x0.dtype))

@@ -707,3 +707,64 @@ def test_sharded_cma_matches_single():
     with pytest.raises(ValueError, match="traceable"):
         cma_es(lambda p: float(np.sum(p**2)), np.zeros(3), n_gens=5,
                pop_size=16, mesh=mesh)
+
+
+def test_sharded_gmm_matches_single():
+    """Row-sharded GMM EM: the E-step density matrix is shard-local and
+    the M-step sufficient statistics (nk, resp.T @ x, weighted Grams)
+    are psum'd — same keys, so parity is reduction-order f64 tight."""
+    from corrla_rs_tpu.ops.gmm import gmm_fit
+
+    _require_8()
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(6)
+    centers = np.array([[-3.0, 0.0], [3.0, 0.0], [0.0, 4.0]])
+    x = np.concatenate([
+        rng.standard_normal((80, 2)) * 0.5 + c for c in centers
+    ])
+    f1 = gmm_fit(x, 3, key=2, n_iter=60)
+    f2 = gmm_fit(x, 3, key=2, n_iter=60, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(f2.means),
+                               np.asarray(f1.means),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f2.weights),
+                               np.asarray(f1.weights),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f2.covs), np.asarray(f1.covs),
+                               rtol=1e-7, atol=1e-9)
+    assert float(f2.log_likelihood) == pytest.approx(
+        float(f1.log_likelihood), rel=1e-9)
+    with pytest.raises(ValueError, match="divide"):
+        gmm_fit(x[:6], 2, mesh=mesh)
+
+
+def test_sharded_particle_filter_matches_single():
+    """Particle-sharded bootstrap filter: propagation/likelihoods are
+    shard-local, evidence/ESS psum to scalars, and the systematic
+    resample gathers the (N,) weights — same keys => f64 parity."""
+    from corrla_rs_tpu.ops.particle import particle_filter
+
+    _require_8()
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    n_part, t_len = 64, 15
+    ys = jnp.asarray(rng.standard_normal((t_len, 1)))
+    x0 = jnp.asarray(rng.standard_normal((n_part, 1)))
+
+    def propagate(k, x):
+        return 0.8 * x + 0.3 * jax.random.normal(k, x.shape, x.dtype)
+
+    def loglik(x, y):
+        return -0.5 * jnp.sum((y - x) ** 2) / 0.25
+
+    key = jax.random.key(3)
+    r1 = particle_filter(x0, ys, propagate, loglik, key)
+    r2 = particle_filter(x0, ys, propagate, loglik, key, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r2["means"]),
+                               np.asarray(r1["means"]),
+                               rtol=1e-9, atol=1e-11)
+    assert r2["loglik"] == pytest.approx(r1["loglik"], rel=1e-9)
+    np.testing.assert_allclose(np.asarray(r2["ess"]),
+                               np.asarray(r1["ess"]), rtol=1e-9)
+    with pytest.raises(ValueError, match="divide"):
+        particle_filter(x0[:6], ys, propagate, loglik, key, mesh=mesh)
